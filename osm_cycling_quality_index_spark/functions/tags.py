@@ -103,13 +103,21 @@ def _surface_order_lit() -> Column:
 def weakest_surface_value(arr: Column) -> Column:
     """Pick the value with the highest index in the quality-ordered surface
     list; NULL when no element is a known surface
-    (reference/definitions.py:114-126)."""
+    (reference/definitions.py:114-126).
+
+    Implemented as max over (position, token) structs rather than
+    ``element_at(order, array_max(...))`` — Spark 4.1's codegen for
+    element_at on a foldable array with a runtime-NULL index wrongly yields
+    the last element instead of NULL.
+    """
     order = _surface_order_lit()
-    pos = F.filter(
-        F.transform(arr, lambda x: F.array_position(order, x)),
-        lambda p: p > 0,
+    pairs = F.filter(
+        F.transform(
+            arr, lambda x: F.struct(F.array_position(order, x).alias("p"), x.alias("t"))
+        ),
+        lambda s: s["p"] > 0,
     )
-    return F.element_at(order, F.array_max(pos).cast("int"))
+    return F.array_max(pairs)["t"]
 
 
 def joined_flags(pairs: list[tuple[Column, Column | str]]) -> Column:

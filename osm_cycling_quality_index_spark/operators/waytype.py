@@ -50,20 +50,25 @@ def _side_tag(base: str, value, side: Column) -> Column:
 def access_filter(df: DataFrame) -> DataFrame:
     """Row filters of reference/cycling_quality_index.py:516-521 and the
     restricted-footway deletion at :546-550 (P5-P7)."""
+    def _holds(c: Column) -> Column:
+        # a NULL predicate must mean "condition does not hold", not "drop
+        # the row" — df.filter discards NULL results
+        return F.coalesce(c, F.lit(False))
+
     bike = get_access(df, "bicycle")
     keep_access = falsy(bike) | bike.isin(_ALLOWED_BICYCLE_ACCESS)
-    keep_informal = ~(
+    keep_informal = ~_holds(
         (_c("highway") == "path") & (_c("informal") == "yes") & _c("bicycle").isNull()
     )
     override = _override_way_type()
     # footway-like rows that would fall into the shared-footway branch with
     # restricted bicycle access are deleted inside the tree (:550)
-    keep_footway = ~(
+    keep_footway = ~_holds(
         override.isNull()
         & _c("highway").isin(_FOOTWAY_LIKE)
         & notin(_c("bicycle"), _YDP)
     )
-    return df.filter(keep_access & keep_informal & keep_footway)
+    return df.filter(_holds(keep_access) & keep_informal & keep_footway)
 
 
 def _override_way_type() -> Column:
