@@ -1,0 +1,51 @@
+"""Cross-engine deterministic rounding.
+
+The reference uses Python ``round`` (banker's on the exact binary value,
+reference/cycling_quality_index.py:1346,1476,1571).  Spark's ``bround``
+instead rounds the *shortest decimal repr* (BigDecimal.valueOf), so e.g.
+``bround(0.65 * 0.5, 2)`` gives 0.32 while Python and DuckDB give 0.33.
+
+:func:`pyround` implements scaled-floor rounding with an exact-tie
+half-even branch: ``y = x * 10^n`` (one IEEE product, identical in every
+engine), exact ties (dyadic rationals, e.g. 1.25 at 1 digit) go to even —
+matching Python — and everything else rounds to nearest via ``floor(y+0.5)``.
+Values within half an ulp of a tie can differ from CPython's decimal-exact
+answer by one final digit; they cannot differ *between engines*, which is
+what the correctness gate hashes.  ``sql_pyround`` emits the same formula
+for DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def pyround(c: Column, n: int) -> Column:
+    s = 10 ** n
+    y = c * F.lit(float(s))
+    f = F.floor(y)
+    return F.when(y - f == 0.5, (f + f % 2) / s).otherwise(F.floor(y + 0.5) / s)
+
+
+def pyround_int(c: Column) -> Column:
+    f = F.floor(c)
+    return F.when(c - f == 0.5, f + f % 2).otherwise(F.floor(c + 0.5)).cast("int")
+
+
+def sql_pyround(expr: str, n: int) -> str:
+    s = 10 ** n
+    y = f"(({expr}) * {float(s)!r})"
+    return (
+        f"(CASE WHEN {y} - FLOOR({y}) = 0.5 "
+        f"THEN (FLOOR({y}) + (CAST(FLOOR({y}) AS BIGINT) % 2)) / {s} "
+        f"ELSE FLOOR({y} + 0.5) / {s} END)"
+    )
+
+
+def sql_pyround_int(expr: str) -> str:
+    return (
+        f"CAST(CASE WHEN ({expr}) - FLOOR({expr}) = 0.5 "
+        f"THEN FLOOR({expr}) + (CAST(FLOOR({expr}) AS BIGINT) % 2) "
+        f"ELSE FLOOR(({expr}) + 0.5) END AS INT)"
+    )

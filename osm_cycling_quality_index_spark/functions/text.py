@@ -1,0 +1,126 @@
+"""Text-analysis functions for training-data pipelines (driver-required
+component: language-ID heuristic, quality scoring, token counting, document
+fingerprinting).
+
+Every function is designed to be exactly mirrorable in DuckDB SQL (no regex
+classes with engine-specific semantics, no engine hash functions): plain
+splits, replace-based occurrence counts, and bounded modular arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: stopword marker lists per language (heuristic language-ID)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+}
+
+_FP_MOD = 1000000007
+_FP_POW = [31 ** (i % 4) for i in range(4)]  # bounded powers, see fingerprint
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (empty tokens from repeated spaces included,
+    matching length-arithmetic mirrors):
+    len(text) - len(replace(text,' ','')) + 1, 0 for empty text."""
+    return F.when(F.length(text) == 0, F.lit(0)).otherwise(
+        F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
+    )
+
+
+def occurrences(text: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count via replace-length arithmetic."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("int")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of . , ; : ! ? characters."""
+    stripped = text
+    for ch in [".", ",", ";", ":", "!", "?"]:
+        stripped = F.replace(stripped, F.lit(ch), F.lit(""))
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        (F.length(text) - F.length(stripped)).cast("double") / F.length(text)
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-word hit counts per language over ' '-padded lowercase text."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return {
+        lang: sum(
+            (occurrences(padded, f" {w} ") for w in words), F.lit(0)
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language, ties broken by alphabetical order, 'unknown' when no
+    marker hits at all."""
+    scores = lang_scores(text)
+    langs = sorted(scores)  # alphabetical tie-break
+    best = None
+    for lang in langs:
+        if best is None:
+            best = F.struct(scores[lang].alias("s"), F.lit(lang).alias("l"))
+        else:
+            cand = F.struct(scores[lang].alias("s"), F.lit(lang).alias("l"))
+            best = F.when(cand["s"] > best["s"], cand).otherwise(best)
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("unknown"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite 0..1 quality heuristic: length band + punctuation sanity +
+    stopword presence (any language)."""
+    n = F.length(text)
+    tokens = token_count(text)
+    length_ok = F.when((n >= 20) & (n <= 5000), 0.4).otherwise(
+        F.when(n > 0, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    punct = punct_ratio(text)
+    punct_ok = F.when((punct > 0) & (punct < 0.2), 0.3).otherwise(F.lit(0.0))
+    scores = lang_scores(text)
+    any_stop = None
+    for c in scores.values():
+        any_stop = c if any_stop is None else (any_stop + c)
+    stop_ok = F.when(any_stop * 10 >= tokens, 0.3).otherwise(F.lit(0.0))
+    return F.round(length_ok + punct_ok + stop_ok, 1)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive document fingerprint: sum over character positions i of
+    code(char_i) * 31^(i mod 4), mod 1e9+7 — bounded so both BIGINT engines
+    agree without overflow.  Output: (doc_id, fingerprint)."""
+    chars = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "")).alias("i", "ch"),
+    ).where(F.col("ch") != "")
+    contrib = F.ascii(F.col("ch")).cast("long") * F.element_at(
+        F.array(*[F.lit(p) for p in _FP_POW]), (F.col("i") % 4 + 1).cast("int")
+    )
+    return (
+        chars.groupBy("doc_id")
+        .agg((F.sum(contrib) % _FP_MOD).alias("fingerprint"))
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc text statistics frame: (doc_id, n_chars, n_tokens,
+    punct_ratio, lang, quality)."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        lang_id(t).alias("lang"),
+        quality_score(t).alias("quality"),
+    )

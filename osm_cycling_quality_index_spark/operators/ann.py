@@ -1,0 +1,95 @@
+"""Similarity search over embedding columns (driver-required component:
+brute-force cosine top-k baseline + LSH-bucketed scale path).
+
+``embeddings`` table shape: (vec_id bigint, embedding array<float>, label int).
+Dot products run as Catalyst higher-order functions (``zip_with`` +
+``aggregate``) — JVM-side, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k of ``embeddings`` for each query row
+    (query frame: (query_id, query_emb)).  The query side is broadcast —
+    at 100 TB the corpus stays partitioned, queries replicate.
+    Output: (query_id, vec_id, cos_sim, rank)."""
+    j = embeddings.crossJoin(F.broadcast(queries))
+    sim = j.withColumn("cos_sim", cosine(F.col("embedding"), F.col("query_emb")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def _plane(i: int, dim_col: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component: value for plane i at
+    dimension d is ((i*131 + d*17) % 97)/97 - 0.5 — pure arithmetic so the
+    DuckDB oracle can reproduce it exactly."""
+    return ((F.lit(i * 131) + dim_col * 17) % 97) / 97.0 - 0.5
+
+
+def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
+    """Sign-bit LSH bucket per row: bit i = [dot(embedding, plane_i) >= 0].
+    Output: input columns + bucket (long)."""
+    dims = F.posexplode(F.col("embedding"))
+    flat = embeddings.select("vec_id", dims.alias("d", "v"))
+    sums = flat.groupBy("vec_id").agg(
+        *[
+            F.sum(F.col("v").cast("double") * _plane(i, F.col("d"))).alias(f"s{i}")
+            for i in range(n_planes)
+        ]
+    )
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        bucket = bucket + F.when(F.col(f"s{i}") >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return embeddings.join(sums.select("vec_id", bucket.alias("bucket")), "vec_id")
+
+
+def lsh_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 8
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, ranked by
+    exact cosine.  Recall depends on bucket granularity; intended as the
+    scale path where brute force is infeasible.
+    Output: (query_id, vec_id, cos_sim, rank)."""
+    corpus = hyperplane_buckets(embeddings, n_planes)
+    qb = hyperplane_buckets(
+        queries.select(F.col("query_id").alias("vec_id"), F.col("query_emb").alias("embedding")),
+        n_planes,
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb"), "bucket")
+    cand = corpus.join(qb, "bucket")
+    sim = cand.withColumn("cos_sim", cosine(F.col("embedding"), F.col("query_emb")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )

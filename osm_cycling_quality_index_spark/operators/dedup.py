@@ -1,0 +1,212 @@
+"""Deduplication operators for large-scale training-data pipelines
+(driver-required component set: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup).
+
+All operators are pure DataFrame compositions (shuffle-conscious: candidate
+generation is always an equi-join on a bucket key, never a cross join) and
+deterministic, so each has an exact DuckDB oracle in ``__spark_entry__``.
+
+Hashing note: the MinHash/SimHash family supports two word->int mappings:
+``dictionary`` (dense_rank over the corpus vocabulary — deterministic and
+SQL-mirrorable, used by the correctness gate) and ``xxhash`` (xxhash64 — the
+production path at 100 TB scale where a vocabulary join is unnecessary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_P = 2147483647  # Mersenne prime 2^31-1 for the affine hash family
+
+
+def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, word) distinct — lowercase whitespace tokens."""
+    return (
+        df.select("doc_id", F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+
+
+def word_ids(tokens: DataFrame, mode: str = "dictionary") -> DataFrame:
+    """Attach an integer id per word (see module docstring)."""
+    if mode == "xxhash":
+        return tokens.withColumn("word_id", F.pmod(F.xxhash64("word"), F.lit(_P)))
+    vocab = (
+        tokens.select("word").distinct()
+        .withColumn("word_id", F.dense_rank().over(Window.orderBy("word")))
+    )
+    # vocabulary is tiny relative to the corpus -> broadcast-joined
+    return tokens.join(F.broadcast(vocab), "word")
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicates by full-text equality: one keeper per group.
+    Output: (text_hash, n_dups, keeper_doc_id)."""
+    return (
+        df.groupBy(F.col(text_col))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper_doc_id"))
+        .select(
+            F.xxhash64(text_col).alias("text_hash"), "n_dups", "keeper_doc_id"
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.5, text_col: str = "text",
+    mode: str = "dictionary",
+) -> DataFrame:
+    """Near-duplicate pairs by Jaccard similarity over distinct word sets.
+
+    Candidate generation: self-equi-join on shared words (inverted index),
+    so cost is sum over words of df(word)^2 — not |docs|^2.  Output:
+    (doc_a, doc_b, common, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    """
+    toks = tokenize(df, text_col)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.select(F.col("doc_id").alias("doc_a"), "word")
+    b = toks.select(F.col("doc_id").alias("doc_b"), "word")
+    common = (
+        a.join(b, "word")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (
+        common.join(na, "doc_a").join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return jac.select("doc_a", "doc_b", "common", F.round("jaccard", 6).alias("jaccard"))
+
+
+def minhash_signatures(
+    df: DataFrame, n_hashes: int = 16, text_col: str = "text",
+    mode: str = "dictionary",
+) -> DataFrame:
+    """MinHash signature per doc: sig_i = min over words of
+    (a_i*word_id + b_i) mod P, with a_i = 2i+1, b_i = 31*i+7 (fixed affine
+    family).  Output: (doc_id, sig array<long>)."""
+    toks = word_ids(tokenize(df, text_col), mode)
+    aggs = [
+        F.min((F.col("word_id") * (2 * i + 1) + (31 * i + 7)) % _P).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = toks.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, n_hashes: int = 16, bands: int = 4,
+    threshold: float = 0.5, text_col: str = "text", mode: str = "dictionary",
+) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates, verified by exact Jaccard.
+
+    Signatures are split into ``bands`` bands of n_hashes/bands rows; docs
+    sharing any full band become candidates (equi-join on the band value),
+    then exact Jaccard over word sets filters to >= threshold.
+    Output: (doc_a, doc_b, jaccard).
+    """
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, n_hashes, text_col, mode)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.concat_ws("_", *[F.col("sig")[b * rows + r] for r in range(rows)])
+                for b in range(bands)
+            ])
+        ).alias("band", "band_val"),
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_val")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_val")
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    jac = ngram_jaccard_pairs(df, 0.0, text_col, mode).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    return cand.join(jac, ["doc_a", "doc_b"]).where(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, bits: int = 32, text_col: str = "text",
+            mode: str = "dictionary") -> DataFrame:
+    """SimHash per doc: bit_j = majority over words of bit_j(word_hash),
+    word_hash = (word_id * 2654435761) mod 2^31.  Output: (doc_id, simhash)."""
+    toks = word_ids(tokenize(df, text_col), mode)
+    h = (F.col("word_id") * F.lit(2654435761)) % F.lit(2147483648)
+    cols = [
+        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*cols)
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", out.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, bits: int = 32, max_hamming: int = 3,
+                       text_col: str = "text", mode: str = "dictionary") -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, candidates bucketed on
+    bit-blocks (pigeonhole: distance <= max_hamming implies at least one of
+    max_hamming+1 blocks is identical).  Output: (doc_a, doc_b, hamming)."""
+    n_blocks = max_hamming + 1
+    block_bits = bits // n_blocks
+    sh = simhash(df, bits, text_col, mode)
+    blocks = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), i * block_bits)
+                .bitwiseAND(F.lit((1 << block_bits) - 1))
+                for i in range(n_blocks)
+            ])
+        ).alias("block", "block_val"),
+    )
+    a = blocks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "block", "block_val")
+    b = blocks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "block", "block_val")
+    cand = (
+        a.join(b, ["block", "block_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_near_dups(df: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicates over (vec_id, embedding array<float>).
+
+    Candidates via sign-bucket LSH (8 deterministic hyperplanes) then exact
+    cosine verify.  Output: (vec_a, vec_b, cos_sim)."""
+    from .ann import cosine, hyperplane_buckets
+
+    b = hyperplane_buckets(df, n_planes=8)
+    a_side = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket")
+    b_side = b.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket")
+    cand = (
+        a_side.join(b_side, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "emb_a", "emb_b")
+        .distinct()
+    )
+    sim = cand.withColumn("cos_sim", cosine(F.col("emb_a"), F.col("emb_b")))
+    return (
+        sim.where(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )

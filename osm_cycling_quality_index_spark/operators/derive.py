@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from .. import params as P
 from ..functions.nulls import falsy, fcoalesce, neq, notin, truthy
+from ..functions.rounding import pyround
 from ..functions.tags import (
     contains_sign,
     get_number,
@@ -246,7 +247,8 @@ def _width_group_c_stage1(wt: Column, proc_oneway: Column) -> dict[str, Column]:
     hw_default = _map_lookup(_c("highway"), P.DEFAULT_HIGHWAY_WIDTH_DICT, P.DEFAULT_HIGHWAY_WIDTH_FALLBACK)
     missing_width = full & ~_nonzero(w)
     base_w = F.when(_nonzero(w), w).otherwise(
-        F.when(ow_yes, F.round(hw_default / 1.6, 1)).otherwise(hw_default)
+        # Python round() is banker's: round(2/1.6, 1) = 1.2, not 1.3 (:983)
+        F.when(ow_yes, pyround(hw_default / 1.6, 1)).otherwise(hw_default)
     )
 
     return {

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from .. import params as P
 from ..functions.nulls import falsy, neq, notin, truthy
+from ..functions.rounding import pyround, pyround_int
 from ..functions.tags import get_access, joined_flags, split_delimited
 
 
@@ -95,7 +96,7 @@ def score(df: DataFrame) -> DataFrame:
     ).otherwise(fw_raw)
     fac_width = F.when(
         _nonzero(calc_width),
-        F.bround(F.greatest(minimum_factor, fw_raw), 3),
+        pyround(F.greatest(minimum_factor, fw_raw), 3),
     )
 
     # ---- surface factor (:1360-1365)
@@ -253,7 +254,7 @@ def score(df: DataFrame) -> DataFrame:
     index_f = base_index * fac_1 * fac_2 * fac_3 * fac_4
     index = F.when(
         base_index.isNotNull(),
-        F.bround(F.greatest(F.least(F.lit(100.0), index_f), F.lit(0.0)), 0).cast("int"),
+        pyround_int(F.greatest(F.least(F.lit(100.0), index_f), F.lit(0.0))),
     )
     index_10 = F.floor(index / 10).cast("int")
 
@@ -367,10 +368,10 @@ def score(df: DataFrame) -> DataFrame:
     # `if base_index != NULL` guard (:1462) always holds; the fac_4 appends
     # above therefore materialize unconditionally, like the reference.
     df = df.withColumns({
-        "fac_1": F.when(base_index.isNotNull(), F.bround(fac_1, 2)),
-        "fac_2": F.when(base_index.isNotNull(), F.bround(fac_2, 2)),
-        "fac_3": F.when(base_index.isNotNull(), F.bround(fac_3, 2)),
-        "fac_4": F.when(base_index.isNotNull(), F.bround(fac_4, 2)),
+        "fac_1": F.when(base_index.isNotNull(), pyround(fac_1, 2)),
+        "fac_2": F.when(base_index.isNotNull(), pyround(fac_2, 2)),
+        "fac_3": F.when(base_index.isNotNull(), pyround(fac_3, 2)),
+        "fac_4": F.when(base_index.isNotNull(), pyround(fac_4, 2)),
         "index": index,
         "index_10": index_10,
         "stress_level": lts,

@@ -1,0 +1,336 @@
+"""DuckDB oracle SQL mirrors for the driver correctness gate.
+
+Each function returns ANSI SQL (DuckDB dialect) computing exactly the same
+result as the matching ``queries()`` entry in ``__spark_entry__`` over the
+driver parquet views (region nation customer supplier part orders lineitem
+events documents embeddings).  Column names/aliases match the Spark side
+column-for-column; numeric results are either integer arithmetic (exact) or
+rounded at a precision where the two engines' float paths cannot diverge.
+"""
+
+from __future__ import annotations
+
+from ..functions.text import LANG_MARKERS
+
+# ---------------------------------------------------------------------------
+# relational operator coverage
+# ---------------------------------------------------------------------------
+
+PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS DOUBLE)                    AS sum_qty,
+       CAST(SUM(l_extendedprice) AS DOUBLE)               AS sum_base_price,
+       CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6)                          AS avg_qty,
+       ROUND(AVG(l_discount), 6)                          AS avg_disc,
+       COUNT(*)                                           AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORDERS_PER_NATION = """
+SELECT n.n_name AS nation,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o.o_totalprice) AS DOUBLE) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+TOPK_ORDERS = """
+SELECT o_custkey, o_orderkey, rnk
+FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 2
+"""
+
+VOTE_THRESHOLD = """
+WITH per AS (
+  SELECT o_custkey, COUNT(*) AS checks,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS hits
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, checks,
+       CAST(CASE WHEN checks <= 2 THEN hits = checks
+                 ELSE hits >= checks * 0.66 END AS INT) AS vote_yes
+FROM per
+"""
+
+SEMI_ANTI_COUNTS = """
+SELECT
+  (SELECT COUNT(*) FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
+  (SELECT COUNT(*) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders
+"""
+
+DISTINCT_PARTS = """
+SELECT p_brand, COUNT(DISTINCT p_type) AS n_types, COUNT(*) AS n_parts
+FROM part GROUP BY p_brand
+"""
+
+# ---------------------------------------------------------------------------
+# events (sessionization / windowed aggregation)
+# ---------------------------------------------------------------------------
+
+EVENTS_SESSIONS = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+EVENTS_TUMBLING = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# documents: dedup family + text analysis
+# ---------------------------------------------------------------------------
+
+DEDUP_EXACT = """
+SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY text
+"""
+
+_TOKENS = """
+tokens AS (
+  SELECT DISTINCT doc_id, w AS word
+  FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE w <> ''
+)
+"""
+
+_WORD_IDS = _TOKENS + """,
+vocab AS (
+  SELECT word, DENSE_RANK() OVER (ORDER BY word) AS word_id
+  FROM (SELECT DISTINCT word FROM tokens)
+),
+tok_ids AS (SELECT t.doc_id, v.word_id FROM tokens t JOIN vocab v USING (word))
+"""
+
+JACCARD_PAIRS = "WITH " + _TOKENS + """,
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tokens GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM tokens a JOIN tokens b USING (word)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common,
+       ROUND(common / (na.n + nb.n - common), 6) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE common / (na.n + nb.n - common) >= {threshold}
+"""
+
+
+def minhash_lsh_sql(n_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rows = n_hashes // bands
+    p = 2147483647
+    sig_cols = ",\n  ".join(
+        f"MIN((word_id * {2 * i + 1} + {31 * i + 7}) % {p}) AS h{i}"
+        for i in range(n_hashes)
+    )
+    band_vals = ", ".join(
+        "concat_ws('_', " + ", ".join(f"h{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    return "WITH " + _WORD_IDS + f""",
+sig AS (SELECT doc_id, {sig_cols} FROM tok_ids GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, band - 1 AS band, band_val FROM (
+    SELECT doc_id, UNNEST([{band_vals}]) AS band_val,
+           UNNEST(range(1, {bands + 1})) AS band
+    FROM sig)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b USING (band, band_val)
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tokens GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM tokens a JOIN tokens b USING (word)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, ROUND(common / (na.n + nb.n - common), 6) AS jaccard
+FROM cand c
+JOIN common USING (doc_a, doc_b)
+JOIN sizes na ON na.doc_id = c.doc_a
+JOIN sizes nb ON nb.doc_id = c.doc_b
+WHERE common / (na.n + nb.n - common) >= {threshold}
+"""
+
+
+def simhash_sql(bits: int = 32) -> str:
+    bit_sums = ",\n  ".join(
+        f"SUM(CASE WHEN ((word_id * 2654435761) % 2147483648 // {1 << j}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    recon = " + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END" for j in range(bits))
+    return "WITH " + _WORD_IDS + f""",
+agg AS (SELECT doc_id, {bit_sums} FROM tok_ids GROUP BY doc_id)
+SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM agg
+"""
+
+
+def _occurrences(expr: str, needle: str) -> str:
+    n = needle.replace("'", "''")
+    return f"CAST((length({expr}) - length(replace({expr}, '{n}', ''))) / {len(needle)} AS INT)"
+
+
+def _lang_score(lang: str) -> str:
+    padded = "concat(' ', lower(text), ' ')"
+    return " + ".join(_occurrences(padded, f" {w} ") for w in LANG_MARKERS[lang])
+
+
+def text_stats_sql() -> str:
+    scores = {lang: _lang_score(lang) for lang in sorted(LANG_MARKERS)}
+    # argmax with alphabetical tie-break: fold in alphabetical order keeping
+    # strictly-greater winners (mirrors functions/text.py lang_id)
+    langs = sorted(LANG_MARKERS)
+    best_s, best_l = f"s_{langs[0]}", f"'{langs[0]}'"
+    for lang in langs[1:]:
+        best_l = f"CASE WHEN s_{lang} > {best_s} THEN '{lang}' ELSE {best_l} END"
+        best_s = f"CASE WHEN s_{lang} > {best_s} THEN s_{lang} ELSE {best_s} END"
+    punct_strip = "text"
+    for ch in [".", ",", ";", ":", "!", "?"]:
+        punct_strip = f"replace({punct_strip}, '{ch}', '')"
+    tokens = "CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
+    punct = f"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length({punct_strip}) AS DOUBLE) / length(text) END"
+    any_stop = " + ".join(f"s_{lang}" for lang in langs)
+    return f"""
+WITH s AS (
+  SELECT doc_id, text,
+         {", ".join(f"{sql} AS s_{lang}" for lang, sql in scores.items())}
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       {tokens} AS n_tokens,
+       ROUND({punct}, 6) AS punct_ratio,
+       CASE WHEN {best_s} > 0 THEN {best_l} ELSE 'unknown' END AS lang,
+       ROUND(
+         (CASE WHEN length(text) BETWEEN 20 AND 5000 THEN 0.4
+               WHEN length(text) > 0 THEN 0.1 ELSE 0.0 END)
+         + (CASE WHEN {punct} > 0 AND {punct} < 0.2 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN ({any_stop}) * 10 >= {tokens} THEN 0.3 ELSE 0.0 END), 1) AS quality
+FROM s
+"""
+
+
+FINGERPRINT = """
+WITH chars AS (
+  SELECT doc_id, UNNEST(string_split(text, '')) AS ch,
+         UNNEST(range(0, length(text))) AS i
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(SUM(ascii(ch) * ([1, 31, 961, 29791])[(i % 4) + 1]) % 1000000007 AS BIGINT) AS fingerprint
+FROM chars GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# embeddings: brute-force top-k, LSH buckets, near-dups
+# ---------------------------------------------------------------------------
+
+_FLAT = """
+flat AS (
+  SELECT vec_id, UNNEST(embedding) AS v,
+         UNNEST(range(0, len(embedding))) AS d
+  FROM embeddings
+)
+"""
+
+_QUERY_FILTER = "vec_id % 100 = 0"
+
+
+def embedding_topk_sql(k: int = 5) -> str:
+    return f"""
+WITH {_FLAT},
+q AS (SELECT vec_id AS query_id, v AS qv, d FROM flat WHERE {_QUERY_FILTER}),
+dots AS (
+  SELECT q.query_id, f.vec_id,
+         SUM(CAST(f.v AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS dp
+  FROM flat f JOIN q ON f.d = q.d
+  GROUP BY 1, 2
+),
+norms AS (
+  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+  FROM flat GROUP BY vec_id
+),
+sims AS (
+  SELECT d.query_id, d.vec_id,
+         d.dp / (nc.nrm * nq.nrm) AS cos_sim
+  FROM dots d
+  JOIN norms nc ON nc.vec_id = d.vec_id
+  JOIN norms nq ON nq.vec_id = d.query_id
+)
+SELECT query_id, vec_id, ROUND(cos_sim, 6) AS cos_sim, rank FROM (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM sims
+) WHERE rank <= {k}
+"""
+
+
+def _bucket_sql(n_planes: int = 8) -> str:
+    sums = ",\n  ".join(
+        f"SUM(CAST(v AS DOUBLE) * ((({i * 131} + d * 17) % 97) / 97.0 - 0.5)) AS s{i}"
+        for i in range(n_planes)
+    )
+    bucket = " + ".join(
+        f"CASE WHEN s{i} >= 0 THEN {1 << i}::BIGINT ELSE 0 END" for i in range(n_planes)
+    )
+    return f"""
+sums AS (SELECT vec_id, {sums} FROM flat GROUP BY vec_id),
+buckets AS (SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM sums)
+"""
+
+
+def ann_buckets_sql(n_planes: int = 8) -> str:
+    return f"WITH {_FLAT}, {_bucket_sql(n_planes)} SELECT vec_id, bucket FROM buckets"
+
+
+def embedding_near_dups_sql(threshold: float = 0.95, n_planes: int = 8) -> str:
+    return f"""
+WITH {_FLAT}, {_bucket_sql(n_planes)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b USING (bucket)
+  WHERE a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.vec_a, c.vec_b, SUM(CAST(fa.v AS DOUBLE) * CAST(fb.v AS DOUBLE)) AS dp
+  FROM cand c
+  JOIN flat fa ON fa.vec_id = c.vec_a
+  JOIN flat fb ON fb.vec_id = c.vec_b AND fb.d = fa.d
+  GROUP BY 1, 2
+),
+norms AS (
+  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+  FROM flat GROUP BY vec_id
+)
+SELECT vec_a, vec_b, ROUND(dp / (na.nrm * nb.nrm), 6) AS cos_sim
+FROM dots
+JOIN norms na ON na.vec_id = vec_a
+JOIN norms nb ON nb.vec_id = vec_b
+WHERE dp / (na.nrm * nb.nrm) >= {threshold}
+"""

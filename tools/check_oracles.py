@@ -1,0 +1,96 @@
+"""Replay the driver's correctness gate locally: run every queries() entry in
+Spark and its oracle_sql() in DuckDB over the same sf dir, compare row count +
+sorted values (column order normalized by name, like the driver).
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb
+
+
+def normalize(df, cols):
+    """Rows as sorted list of tuples with stable float formatting."""
+    def fmt(v):
+        if v is None:
+            return "@null"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "@nan"
+            return f"{v:.9g}"
+        if isinstance(v, bool):
+            return str(int(v))
+        return str(v)
+
+    return sorted(tuple(fmt(r[c]) for c in cols) for r in df)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from osm_cycling_quality_index_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = E.queries()
+    oracles = E.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_rows = [r.asDict() for r in sdf.collect()]
+            cols = sorted(sdf.columns)
+        except Exception as exc:  # noqa: BLE001
+            print(f"[FAIL] {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(spark_rows)} rows")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            print(f"[FAIL] {name}: duckdb error: {exc}")
+            failures.append(name)
+            continue
+        ocols = sorted(odf.columns)
+        orows = odf.astype(object).where(odf.notna(), None).to_dict("records")
+        if cols != ocols:
+            print(f"[FAIL] {name}: columns {cols} vs {ocols}")
+            failures.append(name)
+            continue
+        a = normalize(spark_rows, cols)
+        b = normalize(orows, ocols)
+        if len(a) != len(b):
+            print(f"[FAIL] {name}: rows {len(a)} vs {len(b)}")
+            failures.append(name)
+            continue
+        if a != b:
+            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            print(f"[FAIL] {name}: value mismatch; first diffs:")
+            for x, y in diff:
+                print("   spark:", x)
+                print("   duck :", y)
+            failures.append(name)
+            continue
+        print(f"[ok] {name}: {len(a)} rows match")
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL MATCH")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
