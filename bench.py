@@ -1,0 +1,219 @@
+"""Benchmark harness.
+
+Default mode (what the driver runs): headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Scaling mode (the BASELINE.json two-cluster-size criterion, sandbox proxy):
+    python bench.py --scaling
+runs the spatial geotag+tile job at local[8] and local[32] on identical
+cached input and writes throughput at both + efficiency to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "cqi_score_ways",       # flagship scalar pipeline (classify+derive+score)
+    "geo_knn",              # cell-ring kNN join
+    "geo_sidepath_vote",    # spatial join + majority vote
+    "geo_hex_cells",        # cell encoding throughput
+    "minhash_lsh_pairs",    # dedup at scale
+    "embedding_topk",       # similarity search
+    "text_stats",           # text analysis
+    "events_sessions",      # window/sessionization
+]
+
+
+def _materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_headline(sf_dir: str, cpus: int) -> dict:
+    import __spark_entry__ as E
+    from osm_cycling_quality_index_spark.session import get_spark
+
+    spark = get_spark(app_name="cqi-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    queries = E.queries()
+    # warm the JVM/codegen path once with a trivial action
+    spark.range(1000).count()
+    timings = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _materialize(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 2)
+    total = round(sum(timings.values()), 2)
+    return {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": cpus,
+    }
+
+
+# ---------------------------------------------------------------------------
+# scaling job: geotag join + tile assignment throughput at two core counts
+# ---------------------------------------------------------------------------
+
+def _prepare_scaling_input(n_roads: int, n_points: int, cache_dir: str) -> tuple[str, str]:
+    """Deterministic ways + geotagged points parquet, generated once."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_cycling_quality_index_spark.geo.kernels import MPD_X, MPD_Y
+    from osm_cycling_quality_index_spark.sources.synth import ways_pdf
+
+    ways_path = os.path.join(cache_dir, f"ways_{n_roads}.parquet")
+    pts_path = os.path.join(cache_dir, f"points_{n_points}.parquet")
+    os.makedirs(cache_dir, exist_ok=True)
+    if not os.path.exists(ways_path):
+        wp = ways_pdf(n_roads=n_roads)
+        wp["geometry"] = wp["geometry"].apply(
+            lambda g: [{"x": float(p["x"]), "y": float(p["y"])} for p in g]
+        )
+        wp.to_parquet(ways_path)
+    if not os.path.exists(pts_path):
+        rng = np.random.default_rng(7)
+        wp = pd.read_parquet(ways_path)
+        geoms = list(wp["geometry"])
+        idx = rng.integers(0, len(geoms), n_points)
+        t = rng.uniform(0, 1, n_points)
+        lat_off = rng.uniform(-40, 40, n_points) / MPD_Y
+        x0 = np.array([g[0]["x"] for g in geoms])[idx]
+        x1 = np.array([g[-1]["x"] for g in geoms])[idx]
+        y0 = np.array([g[0]["y"] for g in geoms])[idx]
+        pd.DataFrame({
+            "image_id": np.arange(n_points).astype(str),
+            "lon": x0 + t * (x1 - x0),
+            "lat": y0 + lat_off,
+        }).to_parquet(pts_path)
+    return ways_path, pts_path
+
+
+def run_scaling_job(cores: int, n_roads: int, n_points: int, cache_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from osm_cycling_quality_index_spark.operators import images as I
+    from osm_cycling_quality_index_spark.session import get_spark
+
+    ways_path, pts_path = _prepare_scaling_input(n_roads, n_points, cache_dir)
+    spark = get_spark(app_name=f"cqi-scaling-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=cores * 2)
+    ways = spark.read.parquet(ways_path).select("id", "geometry")
+    pts = spark.read.parquet(pts_path)
+    spark.range(1000).count()  # warm
+
+    t0 = time.time()
+    tagged = I.geotag_join(pts, ways, res=8)
+    _materialize(tagged)
+    t_geotag = time.time() - t0
+
+    t0 = time.time()
+    tiles = I.way_tile_assignment(ways, 500.0)
+    img_tiles = I.image_tile_assignment(pts, 500.0)
+    joined = img_tiles.join(tiles, "tile_id")
+    _materialize(joined.groupBy("way_id").agg(F.count(F.lit(1)).alias("n")))
+    t_tiles = time.time() - t0
+
+    wall = t_geotag + t_tiles
+    out = {
+        "cores": cores,
+        "rows": n_points,
+        "geotag_sec": round(t_geotag, 2),
+        "tiles_sec": round(t_tiles, 2),
+        "wall_sec": round(wall, 2),
+        "rows_per_sec": round(n_points / wall, 1),
+    }
+    spark.stop()
+    return out
+
+
+def run_scaling(n_roads: int, n_points: int) -> dict:
+    """Same job at N and 4N cores in separate JVMs; efficiency =
+    (throughput_4N / throughput_N) / 4."""
+    cache = "/tmp/cqi_bench_cache"
+    _prepare_scaling_input(n_roads, n_points, cache)
+    results = {}
+    for cores in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(cores),
+             "--roads", str(n_roads), "--points", str(n_points)],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(f"local[{cores}]: {results[cores]}", file=sys.stderr)
+    eff = (results[32]["rows_per_sec"] / results[8]["rows_per_sec"]) / 4
+    report = {
+        "metric": "spatial_join_tile_throughput",
+        "unit": "rows/sec",
+        "n8": results[8],
+        "n32": results[32],
+        "scaling_efficiency": round(eff, 3),
+    }
+    _write_baseline_md(report, n_roads, n_points)
+    return report
+
+
+def _write_baseline_md(report: dict, n_roads: int, n_points: int) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    r8, r32 = report["n8"], report["n32"]
+    with open("BENCH/BASELINE.md", "w") as fh:
+        fh.write(f"""# BENCH/BASELINE — spatial-join + tile-assignment throughput
+
+Sandbox proxy for the BASELINE.json two-cluster-size criterion (no real
+cluster available): the same geotag-join + tile-assignment job over identical
+cached input ({n_points:,} geotagged points x ~{n_roads * 2} ways), run at
+`local[8]` and `local[32]` in separate JVMs.
+
+| parallelism | geotag join | tile assignment | total wall | throughput |
+|---|---|---|---|---|
+| local[8]  | {r8['geotag_sec']} s | {r8['tiles_sec']} s | {r8['wall_sec']} s | {r8['rows_per_sec']:,} rows/s |
+| local[32] | {r32['geotag_sec']} s | {r32['tiles_sec']} s | {r32['wall_sec']} s | {r32['rows_per_sec']:,} rows/s |
+
+**Scaling efficiency (throughput_32 / throughput_8) / 4 = {report['scaling_efficiency']}**
+(criterion: >= 0.8 between N and 4N parallelism).
+
+Reproduce: `python bench.py --scaling --roads {n_roads} --points {n_points}`
+""")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-child", type=int, default=0)
+    ap.add_argument("--roads", type=int, default=2000)
+    ap.add_argument("--points", type=int, default=2_000_000)
+    args = ap.parse_args()
+
+    if args.scaling_child:
+        out = run_scaling_job(args.scaling_child, args.roads, args.points,
+                              "/tmp/cqi_bench_cache")
+        print(json.dumps(out))
+        return 0
+    if args.scaling:
+        report = run_scaling(args.roads, args.points)
+        print(json.dumps(report))
+        return 0
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    print(json.dumps(run_headline(sf_dir, cpus)))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

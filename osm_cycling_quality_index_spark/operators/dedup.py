@@ -20,10 +20,29 @@ from pyspark.sql import functions as F
 _P = 2147483647  # Mersenne prime 2^31-1 for the affine hash family
 
 
-def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, word) distinct — lowercase whitespace tokens."""
+def tokenize(df: DataFrame, text_col: str = "text", kind: str = "word") -> DataFrame:
+    """(doc_id, word) distinct — lowercase whitespace tokens, or 3-word
+    shingles (``kind='shingle'``).  Shingles are the scale path: a tiny
+    vocabulary makes word-set similarity degenerate (every pair overlaps),
+    while the shingle space stays sparse."""
+    ws = F.split(F.lower(F.col(text_col)), " ")
+    if kind == "shingle":
+        tok = F.when(
+            F.size(ws) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(ws, (i + 1).cast("int")),
+                    F.element_at(ws, (i + 2).cast("int")),
+                    F.element_at(ws, (i + 3).cast("int")),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        tok = ws
     return (
-        df.select("doc_id", F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"))
+        df.select("doc_id", F.explode(tok).alias("word"))
         .where(F.col("word") != "")
         .distinct()
     )
@@ -55,15 +74,16 @@ def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def ngram_jaccard_pairs(
     df: DataFrame, threshold: float = 0.5, text_col: str = "text",
-    mode: str = "dictionary",
+    mode: str = "dictionary", kind: str = "shingle",
 ) -> DataFrame:
-    """Near-duplicate pairs by Jaccard similarity over distinct word sets.
+    """Near-duplicate pairs by Jaccard similarity over distinct 3-word
+    shingle sets (word sets with ``kind='word'``).
 
-    Candidate generation: self-equi-join on shared words (inverted index),
-    so cost is sum over words of df(word)^2 — not |docs|^2.  Output:
+    Candidate generation: self-equi-join on shared tokens (inverted index),
+    so cost is sum over tokens of df(token)^2 — not |docs|^2.  Output:
     (doc_a, doc_b, common, jaccard) with doc_a < doc_b, jaccard >= threshold.
     """
-    toks = tokenize(df, text_col)
+    toks = tokenize(df, text_col, kind)
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = toks.select(F.col("doc_id").alias("doc_a"), "word")
     b = toks.select(F.col("doc_id").alias("doc_b"), "word")
@@ -92,8 +112,8 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: sig_i = min over words of
     (a_i*word_id + b_i) mod P, with a_i = 2i+1, b_i = 31*i+7 (fixed affine
-    family).  Output: (doc_id, sig array<long>)."""
-    toks = word_ids(tokenize(df, text_col), mode)
+    family), over 3-word shingles.  Output: (doc_id, sig array<long>)."""
+    toks = word_ids(tokenize(df, text_col, "shingle"), mode)
     aggs = [
         F.min((F.col("word_id") * (2 * i + 1) + (31 * i + 7)) % _P).alias(f"h{i}")
         for i in range(n_hashes)
@@ -132,7 +152,7 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    jac = ngram_jaccard_pairs(df, 0.0, text_col, mode).select(
+    jac = ngram_jaccard_pairs(df, 0.0, text_col, mode, "shingle").select(
         "doc_a", "doc_b", "jaccard"
     )
     return cand.join(jac, ["doc_a", "doc_b"]).where(F.col("jaccard") >= threshold)

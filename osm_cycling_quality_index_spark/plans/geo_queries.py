@@ -102,7 +102,9 @@ def q_geo_knn(spark, sf_dir):
 
     pts = _points_df(spark, sf_dir)
     ways = _segments_df(spark, sf_dir).select("id", "geometry")
-    out = knn_ways(pts, ways, k=3, res=7, rings=2, expand_rings=16)
+    # res-8 round 1; round 2 at res 5 guarantees ~29 km — covers the ~13 km
+    # synthetic domain diagonal, so the result is globally exact
+    out = knn_ways(pts, ways, k=3, res=8, rings=2)
     return out.select(
         F.col("image_id").alias("point_id"), "way_id", "rank",
         F.round("dist_m", 4).alias("dist_r"),

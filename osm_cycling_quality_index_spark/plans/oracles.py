@@ -105,11 +105,21 @@ SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_dups
 FROM documents GROUP BY text
 """
 
-_TOKENS = """
+_WORD_TOKENS = """
 tokens AS (
   SELECT DISTINCT doc_id, w AS word
   FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM documents)
   WHERE w <> ''
+)
+"""
+
+#: 3-word shingles (the jaccard/minhash token space; see operators/dedup.py)
+_TOKENS = """
+tokens AS (
+  SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS word
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       UNNEST(range(0, GREATEST(len(ws) - 2, 0))) AS t(i)
+  WHERE ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] <> ''
 )
 """
 
@@ -177,6 +187,15 @@ WHERE common / (na.n + nb.n - common) >= {threshold}
 """
 
 
+_WORD_WORD_IDS = _WORD_TOKENS + """,
+vocab AS (
+  SELECT word, DENSE_RANK() OVER (ORDER BY word) AS word_id
+  FROM (SELECT DISTINCT word FROM tokens)
+),
+tok_ids AS (SELECT t.doc_id, v.word_id FROM tokens t JOIN vocab v USING (word))
+"""
+
+
 def simhash_sql(bits: int = 32) -> str:
     bit_sums = ",\n  ".join(
         f"SUM(CASE WHEN ((word_id * 2654435761) % 2147483648 // {1 << j}) % 2 = 1 "
@@ -184,7 +203,7 @@ def simhash_sql(bits: int = 32) -> str:
         for j in range(bits)
     )
     recon = " + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END" for j in range(bits))
-    return "WITH " + _WORD_IDS + f""",
+    return "WITH " + _WORD_WORD_IDS + f""",
 agg AS (SELECT doc_id, {bit_sums} FROM tok_ids GROUP BY doc_id)
 SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM agg
 """

@@ -1,0 +1,67 @@
+"""GeoJSON source/sink (SURVEY.md §2.1 S1/S2/S3/S6).
+
+The reference reads LineString FeatureCollections via OGR
+(reference/cycling_quality_index.py:42-66) and writes GeoJSON output
+(:1648).  Here the source is Spark's JSON reader + an explode of the feature
+array; multiple numbered input files union (S2) and duplicate geometries drop
+on a canonical geometry key (S3, ``native:deleteduplicategeometries``).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_geojson(spark: SparkSession, *paths: str) -> DataFrame:
+    """FeatureCollection file(s) -> ways frame: one column per property +
+    ``geometry array<struct<x,y>>``.  Only LineString features are kept
+    (``|geometrytype=LineString`` in the reference)."""
+    dfs = []
+    for path in paths:
+        raw = spark.read.option("multiLine", "true").json(path)
+        feats = raw.select(F.explode("features").alias("f"))
+        feats = feats.where(F.col("f.geometry.type") == "LineString")
+        prop_fields = feats.select("f.properties.*").columns
+        cols = [
+            F.col(f"f.properties.`{p}`").cast("string").alias(p) for p in prop_fields
+        ]
+        geom = F.transform(
+            "f.geometry.coordinates",
+            lambda pt: F.struct(
+                pt[0].cast("double").alias("x"), pt[1].cast("double").alias("y")
+            ),
+        ).alias("geometry")
+        dfs.append(feats.select(geom, *cols))
+    if len(dfs) == 1:
+        return dfs[0]
+    # S2 multi-file merge
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+
+def drop_duplicate_geometries(df: DataFrame) -> DataFrame:
+    """S3: one row per canonical geometry (vertex list serialized as key)."""
+    key = F.to_json(F.col("geometry"))
+    return (
+        df.withColumn("_geom_key", key)
+        .dropDuplicates(["_geom_key"])
+        .drop("_geom_key")
+    )
+
+
+def write_geojson_features(df: DataFrame, path: str) -> None:
+    """S6 sink: newline-delimited GeoJSON Feature records (the distributed
+    analogue of a FeatureCollection; `jq -s '{type:"FeatureCollection",
+    features:.}'` rebuilds the reference's exact output shape)."""
+    props = [c for c in df.columns if c != "geometry"]
+    feature = F.struct(
+        F.lit("Feature").alias("type"),
+        F.struct(
+            F.lit("LineString").alias("type"),
+            F.transform("geometry", lambda p: F.array(p["x"], p["y"])).alias("coordinates"),
+        ).alias("geometry"),
+        F.struct(*[F.col(f"`{c}`").alias(c) for c in props]).alias("properties"),
+    )
+    df.select(F.to_json(feature).alias("value")).write.mode("overwrite").text(path)
