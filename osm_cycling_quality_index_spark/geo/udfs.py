@@ -140,6 +140,21 @@ def point_segment_distance_udf(
     )
 
 
+def point_segment_distance_cols(
+    px: Column, py: Column, ax: Column, ay: Column, bx: Column, by: Column
+) -> Column:
+    """Point-to-segment distance as pure column math — the hot refine path of
+    every spatial join stays JVM-side/whole-stage-codegen (a per-pair pandas
+    UDF doubles CPU demand with Python workers and caps scaling).  Same op
+    order as geo/kernels.point_segment_distance and the oracle SQL."""
+    dx, dy = bx - ax, by - ay
+    ll = dx * dx + dy * dy
+    t = F.when(ll > 0, ((px - ax) * dx + (py - ay) * dy) / ll).otherwise(F.lit(0.0))
+    t = F.least(F.lit(1.0), F.greatest(F.lit(0.0), t))
+    cx, cy = ax + t * dx, ay + t * dy
+    return F.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
+
+
 def make_offset_udf():
     """G4 offset-line: geometry + signed distance -> offset geometry."""
 

@@ -29,11 +29,11 @@ from pyspark.sql import functions as F
 from .. import params as P
 from ..functions.nulls import falsy, truthy
 from ..functions.tags import get_number, normalize_maxspeed
+from ..geo.cols import hex_cell_cols, hex_disk_of_cell_cols
 from ..geo.udfs import (
     checkpoints_udf,
-    make_point_disk_udf,
     make_segments_udf,
-    point_segment_distance_udf,
+    point_segment_distance_cols,
 )
 
 _RES = 9  # hexcell resolution: 22 m disc fits in ring-1 (edge ~174 m)
@@ -63,7 +63,13 @@ def _road_segments(roads: DataFrame) -> DataFrame:
         F.col("seg.ax").alias("ax"), F.col("seg.ay").alias("ay"),
         F.col("seg.bx").alias("bx"), F.col("seg.by").alias("by"),
         F.explode("seg.cells").alias("cell"),
-    )
+    ).select(
+        "road_id", "road_layer", "road_highway", "road_name", "road_maxspeed",
+        "ax", "ay", "bx", "by",
+        # ring-expand the small (roads) side so path check points join on a
+        # single cell each
+        F.explode(hex_disk_of_cell_cols(F.col("cell"), 1)).alias("cell"),
+    ).distinct()
 
 
 def sidepath_votes(paths: DataFrame, roads: DataFrame) -> DataFrame:
@@ -71,7 +77,7 @@ def sidepath_votes(paths: DataFrame, roads: DataFrame) -> DataFrame:
     (id, checks, vote_yes, derived_class, class_maxspeeds map, vote_name)."""
     pts = _check_points(paths)
     pts_cells = pts.withColumn(
-        "cell", F.explode(make_point_disk_udf(_RES, 1)("px", "py"))
+        "cell", hex_cell_cols(F.col("px"), F.col("py"), _RES)
     )
     rsegs = _road_segments(roads)
 
@@ -82,7 +88,10 @@ def sidepath_votes(paths: DataFrame, roads: DataFrame) -> DataFrame:
     )
     hits = (
         cand.where(
-            point_segment_distance_udf("px", "py", "ax", "ay", "bx", "by")
+            point_segment_distance_cols(
+                F.col("px"), F.col("py"), F.col("ax"), F.col("ay"),
+                F.col("bx"), F.col("by"),
+            )
             <= F.lit(P.SIDEPATH_BUFFER_SIZE)
         )
         .select("id", "chk_idx", "road_id", "road_highway", "road_name", "road_maxspeed")

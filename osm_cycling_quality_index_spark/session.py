@@ -34,6 +34,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local partitions are far below the 256 MB default threshold; hot
+        # spatial cells need much earlier skew splitting
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        .config("spark.sql.adaptive.rebalancePartitionsSmallPartitionFactor", "0.2")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

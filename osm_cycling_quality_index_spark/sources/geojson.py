@@ -19,21 +19,28 @@ def read_geojson(spark: SparkSession, *paths: str) -> DataFrame:
     """FeatureCollection file(s) -> ways frame: one column per property +
     ``geometry array<struct<x,y>>``.  Only LineString features are kept
     (``|geometrytype=LineString`` in the reference)."""
+    from .. import params as P
+
     dfs = []
+    # explicit schema: inference over mixed Point/LineString features corrupts
+    # the coordinates type; a StringType field captures the raw JSON text and
+    # properties stay a map (OSM tags are stringly-typed anyway)
+    schema = (
+        "features array<struct<"
+        "geometry struct<type string, coordinates string>, "
+        "properties map<string,string>>>"
+    )
     for path in paths:
-        raw = spark.read.option("multiLine", "true").json(path)
-        feats = raw.select(F.explode("features").alias("f"))
-        feats = feats.where(F.col("f.geometry.type") == "LineString")
-        prop_fields = feats.select("f.properties.*").columns
-        cols = [
-            F.col(f"f.properties.`{p}`").cast("string").alias(p) for p in prop_fields
-        ]
+        raw = spark.read.option("multiLine", "true").schema(schema).json(path)
+        feats = raw.select(F.explode("features").alias("f")).where(
+            F.col("f.geometry.type") == "LineString"
+        )
+        coords = F.from_json(F.col("f.geometry.coordinates"), "array<array<double>>")
         geom = F.transform(
-            "f.geometry.coordinates",
-            lambda pt: F.struct(
-                pt[0].cast("double").alias("x"), pt[1].cast("double").alias("y")
-            ),
+            coords, lambda pt: F.struct(pt[0].alias("x"), pt[1].alias("y"))
         ).alias("geometry")
+        props = F.col("f.properties")
+        cols = [props[k].alias(k) for k in P.ATTRIBUTES_LIST]
         dfs.append(feats.select(geom, *cols))
     if len(dfs) == 1:
         return dfs[0]
@@ -42,8 +49,16 @@ def read_geojson(spark: SparkSession, *paths: str) -> DataFrame:
 
 
 def drop_duplicate_geometries(df: DataFrame) -> DataFrame:
-    """S3: one row per canonical geometry (vertex list serialized as key)."""
-    key = F.to_json(F.col("geometry"))
+    """S3: one row per canonical geometry (vertex list serialized as key).
+    Explicit string serialization — Spark 4.1's to_json returns NULL for a
+    top-level array<struct> column."""
+    key = F.array_join(
+        F.transform(
+            "geometry",
+            lambda p: F.concat_ws(":", p["x"].cast("string"), p["y"].cast("string")),
+        ),
+        ";",
+    )
     return (
         df.withColumn("_geom_key", key)
         .dropDuplicates(["_geom_key"])
