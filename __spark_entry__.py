@@ -230,7 +230,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": O.embedding_topk_sql(),
         "ann_buckets": O.ann_buckets_sql(),
         "embedding_near_dups": O.embedding_near_dups_sql(threshold=0.35),
-        # ann_lsh_topk: intentionally no oracle (approximate op)
+        # the LSH approximation is deterministic (fixed hyperplanes), so it
+        # mirrors exactly; recall vs brute force is gated in pytest
+        "ann_lsh_topk": O.ann_lsh_topk_sql(),
     }
     sql.update(G.ORACLES)
     return sql

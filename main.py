@@ -64,15 +64,21 @@ def main(argv=None) -> int:
         if ckpt:
             ckpt.write(scored, "scored")
             scored = ckpt.read_latest(spark, "scored")
+    # persist before the audit count so the pipeline executes once: the
+    # count materializes the frame and the write below reuses it
+    scored = scored.persist()
     audit.stage("scored", scored)
     scored.write.mode("overwrite").parquet(f"{args.output.rstrip('/')}/scored")
     if args.geojson_out:
-        out_cols = scored
+        if "geometry" in scored.columns:
+            export = scored
+        else:
+            # offset branch rows keep their parent way's id, so a left join
+            # re-attaches the centerline geometry and the export keeps every
+            # feature (offset cycleway/sidewalk rows included)
+            export = scored.join(ways.select("id", "geometry"), "id", "left")
         geojson.write_geojson_features(
-            ways.select("id", "geometry").join(scored, "id", "right").where(
-                scored["side"].isNull()
-            ) if "geometry" not in scored.columns else scored,
-            f"{args.output.rstrip('/')}/scored_geojson",
+            export, f"{args.output.rstrip('/')}/scored_geojson"
         )
 
     # ---- image stages
@@ -82,7 +88,7 @@ def main(argv=None) -> int:
             imgs = synth.images_df(spark, wpdf, n_images=args.synth_images)
         else:
             imgs = spark.read.parquet(args.images)
-        tagged = I.geotag_join(imgs.select("image_id", "lon", "lat"), ways)
+        tagged = I.geotag_join(imgs.select("image_id", "lon", "lat"), ways).persist()
         if ckpt:
             ckpt.write(tagged, "geotag")
         audit.stage("geotag", tagged)

@@ -39,6 +39,74 @@ def unproject(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(x) / MPD_X + LON0, np.asarray(y) / MPD_Y + LAT0
 
 
+# ---------------------------------------------------------------------------
+# EPSG:25833 (ETRS89 / UTM zone 33N) — the reference's metric CRS
+# (reference/parameter.py:3-5, reference/cycling_quality_index.py:69,1645).
+# Pure-numpy Karney/Krueger series (order n^3: sub-mm inside the zone), so
+# runs that need exact reference parity near zone edges can swap the local
+# tangent frame for the true transverse-Mercator projection.  Inside the
+# synthetic Berlin bbox the two frames agree on inter-point distances to
+# <= 0.8% relative (property-tested): <= 0.18 m at the 22 m vote threshold
+# and <= 0.8 m at the 100 m check-point spacing — far below either
+# threshold's decision margin.
+# ---------------------------------------------------------------------------
+
+_GRS80_A = 6378137.0
+_GRS80_F = 1.0 / 298.257222101
+_UTM_K0 = 0.9996
+_UTM33_LON0 = 15.0
+_UTM_FE = 500000.0
+_N = _GRS80_F / (2.0 - _GRS80_F)
+_A_BAR = _GRS80_A / (1.0 + _N) * (1.0 + _N**2 / 4.0 + _N**4 / 64.0)
+_ALPHA = (
+    _N / 2.0 - 2.0 * _N**2 / 3.0 + 5.0 * _N**3 / 16.0,
+    13.0 * _N**2 / 48.0 - 3.0 * _N**3 / 5.0,
+    61.0 * _N**3 / 240.0,
+)
+_BETA = (
+    _N / 2.0 - 2.0 * _N**2 / 3.0 - 37.0 * _N**3 / 96.0,
+    _N**2 / 48.0 + _N**3 / 15.0,
+    17.0 * _N**3 / 480.0,
+)
+_DELTA = (
+    2.0 * _N - 2.0 * _N**2 / 3.0 - 2.0 * _N**3,
+    7.0 * _N**2 / 3.0 - 8.0 * _N**3 / 5.0,
+    56.0 * _N**3 / 15.0,
+)
+
+
+def project_tm(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:4326 -> EPSG:25833 easting/northing (S4 exact form)."""
+    lon = np.radians(np.asarray(lon, dtype=np.float64))
+    lat = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = lon - math.radians(_UTM33_LON0)
+    e2n = 2.0 * math.sqrt(_N) / (1.0 + _N)
+    t = np.sinh(np.arctanh(np.sin(lat)) - e2n * np.arctanh(e2n * np.sin(lat)))
+    xi = np.arctan2(t, np.cos(lam))
+    eta = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
+    x, y = eta.copy(), xi.copy()
+    for j, a in enumerate(_ALPHA, start=1):
+        y = y + a * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        x = x + a * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    return _UTM_FE + _UTM_K0 * _A_BAR * x, _UTM_K0 * _A_BAR * y
+
+
+def unproject_tm(e: np.ndarray, n: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """EPSG:25833 -> EPSG:4326 (S5 exact form)."""
+    xi = np.asarray(n, dtype=np.float64) / (_UTM_K0 * _A_BAR)
+    eta = (np.asarray(e, dtype=np.float64) - _UTM_FE) / (_UTM_K0 * _A_BAR)
+    xi_p, eta_p = xi.copy(), eta.copy()
+    for j, b in enumerate(_BETA, start=1):
+        xi_p = xi_p - b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p = eta_p - b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    lat = chi.copy()
+    for j, d in enumerate(_DELTA, start=1):
+        lat = lat + d * np.sin(2 * j * chi)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    return np.degrees(lam) + _UTM33_LON0, np.degrees(lat)
+
+
 def polyline_length_m(lons: np.ndarray, lats: np.ndarray) -> float:
     x, y = project(lons, lats)
     return float(np.sum(np.hypot(np.diff(x), np.diff(y))))

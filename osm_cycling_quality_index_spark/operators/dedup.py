@@ -48,16 +48,47 @@ def tokenize(df: DataFrame, text_col: str = "text", kind: str = "word") -> DataF
     )
 
 
-def word_ids(tokens: DataFrame, mode: str = "dictionary") -> DataFrame:
-    """Attach an integer id per word (see module docstring)."""
+def word_ids(tokens: DataFrame, mode: str = "dictionary",
+             vocab_partitions: int = 32) -> DataFrame:
+    """Attach an integer id per word (see module docstring).
+
+    Dictionary ids are the global 1-based rank of the word — computed
+    WITHOUT a global window (which would single-partition the vocabulary):
+    range-partition the distinct vocab on ``word`` (partitions are globally
+    ordered), rank within each partition, then add per-partition cumulative
+    offsets.  The offset table is ``vocab_partitions`` rows, folded through a
+    1-row-group window (explicit partition key, so no WindowExec warning).
+    The result is identical to ``dense_rank() OVER (ORDER BY word)`` and
+    invariant to where the sampled range boundaries fall.
+    """
     if mode == "xxhash":
         return tokens.withColumn("word_id", F.pmod(F.xxhash64("word"), F.lit(_P)))
-    vocab = (
-        tokens.select("word").distinct()
-        .withColumn("word_id", F.dense_rank().over(Window.orderBy("word")))
+    vocab = tokens.select("word").distinct()
+    local = (
+        vocab.repartitionByRange(vocab_partitions, "word")
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_local",
+            F.row_number().over(Window.partitionBy("_pid").orderBy("word")),
+        )
+    )
+    counts = local.groupBy("_pid").agg(F.max("_local").alias("_cnt"))
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.partitionBy(F.lit(0)).orderBy("_pid")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_off")
+    vocab_ids = (
+        local.join(F.broadcast(offsets), "_pid")
+        .select("word", (F.col("_local") + F.col("_off")).alias("word_id"))
     )
     # vocabulary is tiny relative to the corpus -> broadcast-joined
-    return tokens.join(F.broadcast(vocab), "word")
+    return tokens.join(F.broadcast(vocab_ids), "word")
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -152,10 +183,25 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    jac = ngram_jaccard_pairs(df, 0.0, text_col, mode, "shingle").select(
-        "doc_a", "doc_b", "jaccard"
+    # exact-Jaccard verify ONLY the LSH candidates (not every overlapping
+    # pair): attach each side's shingle set by equi-join and intersect the
+    # arrays per pair — candidate volume post-LSH is tiny, so the arrays
+    # never ride through a wide shuffle
+    sets_ = (
+        tokenize(df, text_col, "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_set("word").alias("words"))
     )
-    return cand.join(jac, ["doc_a", "doc_b"]).where(F.col("jaccard") >= threshold)
+    sa = sets_.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
+    sb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
+    common = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+    jaccard = common / (F.size("wa") + F.size("wb") - common)
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jaccard, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def simhash(df: DataFrame, bits: int = 32, text_col: str = "text",

@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .. import params as P
-from ..functions.nulls import falsy, truthy
+from ..functions.nulls import falsy, neq, truthy
 from ..functions.tags import derive_attribute, get_number
 from ..geo.udfs import make_offset_udf
 
@@ -48,7 +48,9 @@ def offset_flags(df: DataFrame) -> DataFrame:
 
     cw, cwb = _c("cycleway"), _c("cycleway:both")
     cwl, cwr = _c("cycleway:left"), _c("cycleway:right")
-    not_cycleway = _c("highway") != "cycleway"
+    # null-safe: reference Python `highway != 'cycleway'` is True for a NULL
+    # highway (:377), so the branch still spawns; a raw != would yield NULL
+    not_cycleway = neq(_c("highway"), "cycleway")
     cyc_left = not_cycleway & (cw.isin(_LTS_SET) | cwb.isin(_LTS_SET) | cwl.isin(_LTS_SET))
     cyc_right = not_cycleway & (cw.isin(_LTS_SET) | cwb.isin(_LTS_SET) | cwr.isin(_LTS_SET))
 

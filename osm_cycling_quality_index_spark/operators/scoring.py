@@ -190,7 +190,12 @@ def score(df: DataFrame) -> DataFrame:
 
     crossing_t = _c("crossing")
     crossing_markings = _c("crossing:markings")
-    signalled = (wt == "crossing") & crossing_t.isin(["traffic_signals"])
+    # null-safe: reference `crossing in ['traffic_signals']` is False for a
+    # NULL crossing tag (:1533), so `elif` still grants the marked bonus when
+    # only crossing:markings is set; a raw isin would make ~signalled NULL
+    signalled = (wt == "crossing") & F.coalesce(
+        crossing_t.isin(["traffic_signals"]), F.lit(False)
+    )
     marked = (
         (wt == "crossing")
         & ~signalled
@@ -216,13 +221,17 @@ def score(df: DataFrame) -> DataFrame:
         ((tml == "parking") & _nonzero(bl) & (bl < 1))
         | ((tmr == "parking") & _nonzero(br) & (br < 1))
     ) & dooring_eligible
+    # each branch requires its buffers to be usable (the reference raises a
+    # TypeError on abs(NULL-1) at :1552-1556, so any total behavior here is a
+    # divergence; falling back to the single-side formula keeps the index
+    # non-NULL for a row whose dooring trigger was satisfied by the other side)
     diff = (
         F.when(
-            (tml == "parking") & (tmr == "parking"),
+            (tml == "parking") & (tmr == "parking") & _nonzero(bl) & _nonzero(br),
             F.abs(((bl + br) / 2) - 1) / 5,
         )
-        .when(tmr == "parking", F.abs(br - 1) / 5)
-        .when(tml == "parking", F.abs(bl - 1) / 5)
+        .when((tmr == "parking") & _nonzero(br), F.abs(br - 1) / 5)
+        .when((tml == "parking") & _nonzero(bl), F.abs(bl - 1) / 5)
         .otherwise(F.lit(0.0))
     )
     permissive = _c("bicycle") == "permissive"

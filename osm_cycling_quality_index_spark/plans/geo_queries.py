@@ -411,9 +411,3 @@ ORACLES = {
     # geo_s2_cells: rows-only (Hilbert curve has no reasonable SQL form)
     "geo_sidepath_vote": _geo_vote_sql(),
 }
-
-
-def q_cqi_score_ways(spark, sf_dir):
-    from .cqi_query import q_cqi_score_ways as _q
-
-    return _q(spark, sf_dir)

@@ -328,6 +328,45 @@ def ann_buckets_sql(n_planes: int = 8) -> str:
     return f"WITH {_FLAT}, {_bucket_sql(n_planes)} SELECT vec_id, bucket FROM buckets"
 
 
+def ann_lsh_topk_sql(k: int = 5, n_planes: int = 8) -> str:
+    """LSH top-k is deterministic (fixed hyperplanes), so it has an exact
+    mirror: candidates share the query's bucket, ranked by exact cosine.
+    Queries come from the same table, so the query bucket IS the corpus
+    bucket of that vec_id."""
+    return f"""
+WITH {_FLAT}, {_bucket_sql(n_planes)},
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id
+  FROM buckets q JOIN buckets c USING (bucket)
+  WHERE q.{_QUERY_FILTER}
+),
+dots AS (
+  SELECT cd.query_id, cd.vec_id,
+         SUM(CAST(fc.v AS DOUBLE) * CAST(fq.v AS DOUBLE)) AS dp
+  FROM cand cd
+  JOIN flat fc ON fc.vec_id = cd.vec_id
+  JOIN flat fq ON fq.vec_id = cd.query_id AND fq.d = fc.d
+  GROUP BY 1, 2
+),
+norms AS (
+  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+  FROM flat GROUP BY vec_id
+),
+sims AS (
+  SELECT d.query_id, d.vec_id, d.dp / (nc.nrm * nq.nrm) AS cos_sim
+  FROM dots d
+  JOIN norms nc ON nc.vec_id = d.vec_id
+  JOIN norms nq ON nq.vec_id = d.query_id
+)
+SELECT query_id, vec_id, ROUND(cos_sim, 6) AS cos_sim, rank FROM (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM sims
+) WHERE rank <= {k}
+"""
+
+
 def embedding_near_dups_sql(threshold: float = 0.95, n_planes: int = 8) -> str:
     return f"""
 WITH {_FLAT}, {_bucket_sql(n_planes)},
