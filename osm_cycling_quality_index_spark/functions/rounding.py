@@ -43,6 +43,28 @@ def sql_pyround(expr: str, n: int) -> str:
     )
 
 
+def force_double(sql: str) -> str:
+    """Rewrite decimal literals outside string quotes to DOUBLE casts.
+
+    DuckDB types ``0.35`` as exact DECIMAL while Spark types it DOUBLE; an
+    oracle computing ``0.35 + 0.65*0.3`` in decimal gets exactly 0.545 and
+    takes the half-even tie branch, while Spark's double is
+    0.54500000000000001 and rounds up — a one-digit hash mismatch.  Forcing
+    every fractional literal to DOUBLE makes both engines run identical IEEE
+    arithmetic end-to-end.  Integer literals keep their integer semantics.
+    """
+    import re
+
+    parts = sql.split("'")
+    for i in range(0, len(parts), 2):  # even indices are outside quotes
+        parts[i] = re.sub(
+            r"(?<![\w.])(\d+\.\d+)(?![\w.])",
+            r"CAST(\1 AS DOUBLE)",
+            parts[i],
+        )
+    return "'".join(parts)
+
+
 def sql_pyround_int(expr: str) -> str:
     return (
         f"CAST(CASE WHEN ({expr}) - FLOOR({expr}) = 0.5 "

@@ -9,6 +9,8 @@ splits, replace-based occurrence counts, and bounded modular arithmetic.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # module-level so the pandas-UDF type hints resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -121,8 +123,6 @@ def fingerprint_fast(df: DataFrame, text_col: str = "text",
     a utf-32 numpy view (matches ``F.ascii`` per split character), the
     polynomial is a dot product with the tiled 31^(i mod 4) powers, chunked
     so the int64 accumulator cannot overflow."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.types import LongType
 
     pows = np.array(_FP_POW, dtype=np.int64)

@@ -74,18 +74,35 @@ def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
 
 
 def lsh_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 8
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 8,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket, ranked by
-    exact cosine.  Recall depends on bucket granularity; intended as the
-    scale path where brute force is infeasible.
+    """Approximate top-k: candidates share one of the query's probe buckets
+    (the query's own bucket plus, with ``probe_hamming=1``, every bucket one
+    sign-bit away — multi-probe LSH), ranked by exact cosine.  Multi-probe
+    trades a bounded x(n_planes+1) candidate fan-out for the recall that
+    single-bucket LSH loses on near-plane points; the corpus side is hashed
+    once either way, so the scale cost stays on the small query side.
     Output: (query_id, vec_id, cos_sim, rank)."""
     corpus = hyperplane_buckets(embeddings, n_planes)
     qb = hyperplane_buckets(
         queries.select(F.col("query_id").alias("vec_id"), F.col("query_emb").alias("embedding")),
         n_planes,
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb"), "bucket")
-    cand = corpus.join(qb, "bucket")
+    if probe_hamming >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+              for i in range(n_planes)],
+        )
+        qb = qb.select(
+            "query_id", "query_emb", F.explode(probes).alias("bucket")
+        )
+    # no dedup needed: a query's probe buckets are distinct values and each
+    # corpus row carries exactly one bucket, so a (query, vector) pair can
+    # match at most one probe.  Broadcasting the exploded query side keeps
+    # the corpus scan shuffle-free.
+    cand = corpus.join(F.broadcast(qb), "bucket")
     sim = cand.withColumn("cos_sim", cosine(F.col("embedding"), F.col("query_emb")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (

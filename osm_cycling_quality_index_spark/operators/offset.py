@@ -29,17 +29,18 @@ def _c(name: str) -> Column:
     return F.col(f"`{name}`")
 
 
-def _offset_value(width_based: Column) -> Column:
+def _offset_value(width_based: Column, mode) -> Column:
     """Offset distance per parameter mode (reference/cycling_quality_index.py:391-420):
     'realistic' derives from the road width, otherwise a static number."""
-    if P.OFFSET_DISTANCE == "realistic":
+    if mode == "realistic":
         return width_based
-    return F.lit(float(P.OFFSET_DISTANCE))
+    return F.lit(float(mode))
 
 
-def offset_flags(df: DataFrame) -> DataFrame:
+def offset_flags(df: DataFrame, mode=None) -> DataFrame:
     """offset_cycleway_left/right, offset_sidewalk_left/right
     (reference/cycling_quality_index.py:376-448)."""
+    mode = P.OFFSET_DISTANCE if mode is None else mode
     width = get_number(_c("width"))
     hw_default = F.lit(P.DEFAULT_HIGHWAY_WIDTH_FALLBACK)
     for k, v in P.DEFAULT_HIGHWAY_WIDTH_DICT.items():
@@ -60,15 +61,16 @@ def offset_flags(df: DataFrame) -> DataFrame:
     sw_right = sb.isin(_YDP) | sbb.isin(_YDP) | sbr.isin(_YDP)
 
     return df.withColumns({
-        "offset_cycleway_left": F.when(cyc_left, _offset_value(width / 2)),
-        "offset_cycleway_right": F.when(cyc_right, _offset_value(width / 2)),
-        "offset_sidewalk_left": F.when(sw_left, _offset_value(width / 2 + 2)),
-        "offset_sidewalk_right": F.when(sw_right, _offset_value(width / 2 + 2)),
+        "offset_cycleway_left": F.when(cyc_left, _offset_value(width / 2, mode)),
+        "offset_cycleway_right": F.when(cyc_right, _offset_value(width / 2, mode)),
+        "offset_sidewalk_left": F.when(sw_left, _offset_value(width / 2 + 2, mode)),
+        "offset_sidewalk_right": F.when(sw_right, _offset_value(width / 2 + 2, mode)),
     })
 
 
-def _branch(df: DataFrame, typ: str, side: str) -> DataFrame:
+def _branch(df: DataFrame, typ: str, side: str, mode=None) -> DataFrame:
     """One offset branch (reference/cycling_quality_index.py:456-496)."""
+    mode = P.OFFSET_DISTANCE if mode is None else mode
     offset_col = f"offset_{typ}_{side}"
     b = df.filter(F.col(offset_col).isNotNull())
     cols = b.columns
@@ -122,18 +124,18 @@ def _branch(df: DataFrame, typ: str, side: str) -> DataFrame:
     b = b.withColumns(updates)
     # geometry offset (G4) only when a non-zero distance is configured;
     # the default static offset 0 keeps geometry identical (:442-448)
-    if P.OFFSET_DISTANCE == "realistic" and "geometry" in cols:
+    if mode == "realistic" and "geometry" in cols:
         b = b.withColumn(
             "geometry", make_offset_udf()("geometry", F.col("offset") * F.lit(sign))
         )
     return b
 
 
-def offset_stage(df: DataFrame) -> DataFrame:
+def offset_stage(df: DataFrame, mode=None) -> DataFrame:
     """Flags + 4 branches + union with the centerline frame (U2)."""
-    df = offset_flags(df)
+    df = offset_flags(df, mode)
     branches = [
-        _branch(df, typ, side)
+        _branch(df, typ, side, mode)
         for side in ("left", "right")
         for typ in ("cycleway", "sidewalk")
     ]

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import params as P
-from ..functions.rounding import sql_pyround, sql_pyround_int
+from ..functions.rounding import force_double, sql_pyround, sql_pyround_int
 from ..functions.tags import normalize_maxspeed
 
 _HW = ["cycleway", "footway", "path", "residential", "primary", "secondary",
@@ -31,6 +31,10 @@ _SIDEPATH = [None, "yes", "no"]
 _TRACKTYPE = [None, "grade1", "grade2", "grade3", "grade5"]
 _MV = [None] * 8 + ["no", "destination", "agricultural"]
 _SIGN = [None, "DE:237", "DE:1022-10", "DE:240,DE:none"]
+_CROSSING = [None, "traffic_signals", "marked", "zebra", "unmarked", "no"]
+_CR_MARK = [None, "yes", "no", "dots"]
+_COLOUR = [None, "red", "grey", "green"]
+_BUF_L = [None, "0.5", "junk", "1.5"]
 
 _PATHLIKE = ["cycleway", "footway", "path"]
 
@@ -74,6 +78,16 @@ def _ways_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pick(k1, _TRACKTYPE).alias("tracktype"),
         _pick(k2, _MV).alias("motor_vehicle"),
         _pick(k3, _SIGN).alias("traffic_sign"),
+        # crossing / dooring arms (reference :1098-1214, :1504-1566)
+        F.when(k3 % 7 == 3, "crossing").alias("footway"),
+        _pick(k1, _CROSSING).alias("crossing"),
+        _pick(k2, _CR_MARK).alias("crossing:markings"),
+        _pick(k3, _COLOUR).alias("surface:colour"),
+        F.when(k2 % 6 == 1, "parking").alias("traffic_mode:left"),
+        F.when(k3 % 8 == 5, "parking").alias("traffic_mode:right"),
+        _pick(k1, _BUF_L).alias("buffer:left"),
+        F.when(k2 % 9 == 2, "0.8").alias("buffer:right"),
+        F.when(k3 % 11 == 6, "0.4").alias("buffer:both"),
     )
 
 
@@ -163,7 +177,7 @@ def cqi_oracle_sql() -> str:
     r2_fac2 = sql_pyround("fac2_raw", 2)
     r2_fac4 = sql_pyround("fac4_raw", 2)
 
-    return f"""
+    return force_double(f"""
 WITH raw AS (
   SELECT CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS id,
          l_partkey AS k1, l_suppkey AS k2, l_orderkey AS k3,
@@ -185,7 +199,16 @@ WITH raw AS (
          {_sql_pick("(l_suppkey + l_orderkey)", _SIDEPATH)} AS is_sidepath,
          {_sql_pick("l_partkey", _TRACKTYPE)} AS tracktype,
          {_sql_pick("l_suppkey", _MV)} AS motor_vehicle,
-         {_sql_pick("l_orderkey", _SIGN)} AS traffic_sign
+         {_sql_pick("l_orderkey", _SIGN)} AS traffic_sign,
+         CASE WHEN l_orderkey % 7 = 3 THEN 'crossing' END AS footway_t,
+         {_sql_pick("l_partkey", _CROSSING)} AS crossing,
+         {_sql_pick("l_suppkey", _CR_MARK)} AS crossing_markings,
+         {_sql_pick("l_orderkey", _COLOUR)} AS surface_colour,
+         CASE WHEN l_suppkey % 6 = 1 THEN 'parking' END AS tm_left,
+         CASE WHEN l_orderkey % 8 = 5 THEN 'parking' END AS tm_right,
+         {_sql_pick("l_partkey", _BUF_L)} AS buffer_left,
+         CASE WHEN l_suppkey % 9 = 2 THEN '0.8' END AS buffer_right,
+         CASE WHEN l_orderkey % 11 = 6 THEN '0.4' END AS buffer_both
   FROM lineitem
 ),
 proc0 AS (
@@ -208,11 +231,15 @@ filtered AS (
   SELECT * FROM proc0
   WHERE (bicycle IS NULL OR bicycle IN
            ('yes','permissive','designated','use_sidepath','optional_sidepath','discouraged'))
-    AND NOT (highway = 'footway' AND (bicycle IS NULL OR bicycle NOT IN {ydp}))
+    -- restricted-footway deletion only applies when no override way type
+    -- (crossing) wins (reference :546-550 inside the tree)
+    AND NOT (highway = 'footway' AND (bicycle IS NULL OR bicycle NOT IN {ydp})
+             AND (footway_t IS NULL OR footway_t <> 'crossing'))
 ),
 wt AS (
   SELECT *,
     CASE
+      WHEN footway_t = 'crossing' THEN 'crossing'
       WHEN highway = 'footway' THEN 'shared footway'
       WHEN highway = 'path' THEN
         CASE WHEN foot = 'designated' AND (bicycle IS NULL OR bicycle <> 'designated')
@@ -246,7 +273,7 @@ wid AS (
 pw AS (
   SELECT *,
     CASE
-      WHEN way_type IN ('cycle path','cycle track','shared path','shared footway') THEN
+      WHEN way_type IN ('cycle path','cycle track','shared path','shared footway','crossing') THEN
         CASE WHEN w_ok THEN wnum
              ELSE (CASE WHEN way_type IN ('cycle path','shared path') THEN 2.0
                         WHEN way_type = 'shared footway' THEN 2.0 ELSE 1.5 END)
@@ -284,7 +311,7 @@ pw AS (
         END
     END AS pw_raw,
     -- data_missing flags for width
-    CASE WHEN way_type IN ('cycle path','cycle track','shared path','shared footway')
+    CASE WHEN way_type IN ('cycle path','cycle track','shared path','shared footway','crossing')
          THEN NOT w_ok
          WHEN way_type = 'segregated path' THEN TRUE  -- cycleway:width always NULL (:771-779)
          WHEN way_type IN ('shared road','track or service') THEN NOT w_ok
@@ -326,14 +353,20 @@ surf AS (
 ),
 tm AS (
   SELECT *,
-    CASE WHEN way_type = 'cycle path' THEN 'no'
-         WHEN way_type IN {sidepath4} AND proc_sidepath = 'yes' THEN 'motor_vehicle'
-         WHEN way_type IN ('shared road','shared traffic lane') THEN 'motor_vehicle'
-    END AS proc_traffic_mode_left,
-    CASE WHEN way_type = 'cycle path' THEN 'no'
-         WHEN way_type IN {sidepath4} AND proc_sidepath = 'yes' THEN 'foot'
-    END AS proc_traffic_mode_right,
-    'no' AS proc_separation_left, 'no' AS proc_separation_right
+    COALESCE(tm_left,
+      CASE WHEN way_type = 'cycle path' THEN 'no'
+           WHEN way_type IN {sidepath4} AND proc_sidepath = 'yes' THEN 'motor_vehicle'
+           WHEN way_type IN ('shared road','shared traffic lane','shared bus lane','crossing')
+             THEN 'motor_vehicle'
+      END) AS proc_traffic_mode_left,
+    COALESCE(tm_right,
+      CASE WHEN way_type = 'cycle path' THEN 'no'
+           WHEN way_type = 'crossing' THEN 'motor_vehicle'
+           WHEN way_type IN {sidepath4} AND proc_sidepath = 'yes' THEN 'foot'
+      END) AS proc_traffic_mode_right,
+    'no' AS proc_separation_left, 'no' AS proc_separation_right,
+    COALESCE(TRY_CAST(buffer_left AS DOUBLE), TRY_CAST(buffer_both AS DOUBLE)) AS bl,
+    COALESCE(TRY_CAST(buffer_right AS DOUBLE), TRY_CAST(buffer_both AS DOUBLE)) AS br
   FROM surf
 ),
 mand AS (
@@ -429,9 +462,39 @@ sc2 AS (
 ),
 sc3 AS (
   SELECT *,
-    1.0 - 0.1 * unlit
-        - (CASE WHEN permissive THEN 0.2 ELSE 0.0 END) AS fac4_raw
-  FROM sc2
+    1.0
+    + (CASE WHEN coloured THEN
+         CASE WHEN way_type = 'crossing' THEN 0.15 ELSE 0.05 END ELSE 0.0 END)
+    + (CASE WHEN signalled THEN 0.2 WHEN marked THEN 0.1 ELSE 0.0 END)
+    - 0.1 * unlit
+    - (CASE WHEN dooring THEN ddiff ELSE 0.0 END)
+    - (CASE WHEN permissive THEN 0.2 ELSE 0.0 END) AS fac4_raw
+  FROM (
+    SELECT *,
+      ((way_type IN ('crossing','shared bus lane','link','bicycle road')
+        OR (way_type IN ('shared path','segregated path') AND proc_sidepath = 'yes'))
+       AND surface_colour IS NOT NULL
+       AND surface_colour NOT IN ('no','none','grey','gray','black')) AS coloured,
+      (way_type = 'crossing' AND COALESCE(crossing = 'traffic_signals', FALSE)) AS signalled,
+      (way_type = 'crossing' AND NOT COALESCE(crossing = 'traffic_signals', FALSE)
+       AND (COALESCE(crossing IN ('marked','zebra'), FALSE)
+            OR (crossing_markings IS NOT NULL AND crossing_markings <> 'no'))) AS marked,
+      (way_type = 'crossing' AND crossing IS NULL) AS dm_crossing,
+      (way_type = 'crossing' AND crossing_markings IS NULL) AS dm_crossing_markings,
+      (((proc_traffic_mode_left = 'parking' AND bl IS NOT NULL AND bl <> 0 AND bl < 1)
+        OR (proc_traffic_mode_right = 'parking' AND br IS NOT NULL AND br <> 0 AND br < 1))
+       AND way_type IN ('cycle track','shared path','segregated path')
+       AND proc_sidepath = 'yes') AS dooring,
+      (CASE WHEN proc_traffic_mode_left = 'parking' AND proc_traffic_mode_right = 'parking'
+                 AND bl IS NOT NULL AND bl <> 0 AND br IS NOT NULL AND br <> 0
+            THEN abs((bl + br) / 2 - 1) / 5
+            WHEN proc_traffic_mode_right = 'parking' AND br IS NOT NULL AND br <> 0
+            THEN abs(br - 1) / 5
+            WHEN proc_traffic_mode_left = 'parking' AND bl IS NOT NULL AND bl <> 0
+            THEN abs(bl - 1) / 5
+            ELSE 0.0 END) AS ddiff
+    FROM sc2
+  )
 ),
 idx AS (
   SELECT *,
@@ -459,6 +522,11 @@ SELECT id, way_type, proc_width, proc_surface, proc_smoothness,
                 AND proc_width IS NOT NULL AND proc_width <> 0 AND proc_width < 3
                 AND proc_maxspeed IS NOT NULL AND proc_maxspeed > 30
            THEN 3 ELSE 1 END
+    WHEN way_type = 'crossing' THEN
+      CASE WHEN proc_maxspeed IS NOT NULL AND proc_maxspeed <> 0 AND proc_maxspeed <= 10 THEN 1
+           WHEN proc_maxspeed IS NOT NULL AND proc_maxspeed <> 0 AND proc_maxspeed <= 30 THEN 2
+           WHEN proc_width IS NOT NULL AND proc_width <> 0 AND proc_width >= 1.5 THEN 3
+           ELSE 4 END
     WHEN way_type IN ('shared road','shared traffic lane') THEN
       CASE WHEN proc_maxspeed IS NOT NULL AND proc_maxspeed <> 0 AND proc_maxspeed <= 10
                 AND proc_highway IN ('residential','living_street')
@@ -479,18 +547,24 @@ SELECT id, way_type, proc_width, proc_surface, proc_smoothness,
     CASE WHEN dm_surface THEN 'surface' END,
     CASE WHEN dm_smoothness THEN 'smoothness' END,
     CASE WHEN dm_maxspeed THEN 'maxspeed' END,
+    CASE WHEN dm_crossing THEN 'crossing' END,
+    CASE WHEN dm_crossing_markings THEN 'crossing_markings' END,
     CASE WHEN dm_lit THEN 'lit' END) AS data_missing,
   concat_ws(';',
     CASE WHEN way_type IN {roadish4} AND mva_restricted THEN 'motor vehicle restricted' END,
     CASE WHEN fac_width > 1 THEN 'wide width' END,
     CASE WHEN fac_surface > 1 THEN 'excellent surface' END,
-    CASE WHEN weight >= 0.5 AND fac2_raw > 1 THEN 'slow traffic' END) AS data_bonus,
+    CASE WHEN weight >= 0.5 AND fac2_raw > 1 THEN 'slow traffic' END,
+    CASE WHEN coloured THEN 'surface colour' END,
+    CASE WHEN signalled THEN 'signalled crossing' END,
+    CASE WHEN marked THEN 'marked crossing' END) AS data_bonus,
   concat_ws(';',
     CASE WHEN fac_width IS NOT NULL AND fac_width <> 0 AND fac_width <= 0.5 THEN 'narrow width' END,
     CASE WHEN fac_surface IS NOT NULL AND fac_surface <> 0 AND fac_surface <= 0.5 THEN 'bad surface' END,
     CASE WHEN weight >= 0.5 AND fac_highway <= 0.7 THEN 'along a major road' END,
     CASE WHEN weight >= 0.5 AND fac_maxspeed <= 0.7 THEN 'along a road with high speed limits' END,
     CASE WHEN unlit = 1.0 THEN 'no street lighting' END,
+    CASE WHEN dooring THEN 'insufficient dooring buffer' END,
     CASE WHEN permissive THEN 'cycling not intended' END) AS data_malus,
   CAST({inc["width:lanes"]} * CASE WHEN dm_width_lanes THEN 1 ELSE 0 END
    + {inc["width"]} * ((CASE WHEN dm_width_1 THEN 1 ELSE 0 END)
@@ -499,6 +573,8 @@ SELECT id, way_type, proc_width, proc_surface, proc_smoothness,
    + {inc["surface"]} * CASE WHEN dm_surface THEN 1 ELSE 0 END
    + {inc["smoothness"]} * CASE WHEN dm_smoothness THEN 1 ELSE 0 END
    + {inc["maxspeed"]} * CASE WHEN dm_maxspeed THEN 1 ELSE 0 END
+   + {inc["crossing"]} * CASE WHEN dm_crossing THEN 1 ELSE 0 END
+   + {inc["crossing_markings"]} * CASE WHEN dm_crossing_markings THEN 1 ELSE 0 END
    + {inc["lit"]} * CASE WHEN dm_lit THEN 1 ELSE 0 END AS DOUBLE) AS data_incompleteness,
   CAST(CASE WHEN dm_width_1 OR dm_width_2 THEN 1 END AS INT) AS data_missing_width,
   CAST(CASE WHEN dm_surface THEN 1 END AS INT) AS data_missing_surface,
@@ -508,7 +584,8 @@ SELECT id, way_type, proc_width, proc_surface, proc_smoothness,
   CAST(CASE WHEN dm_lit THEN 1 END AS INT) AS data_missing_lit,
   CAST(CASE WHEN proc_mandatory IN ('prohibited','use_sidepath') THEN 0 ELSE 1 END AS INT) AS filter_usable,
   CASE WHEN way_type IN ('cycle path','cycle track','shared path','segregated path','shared footway') THEN 'separated'
+       WHEN way_type = 'crossing' THEN 'cycle lanes'
        WHEN way_type IN ('shared road','shared traffic lane','track or service') THEN 'shared traffic'
   END AS filter_way_type
 FROM fin
-"""
+""")

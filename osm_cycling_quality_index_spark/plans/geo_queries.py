@@ -192,6 +192,82 @@ FROM pts
 
 
 # ---------------------------------------------------------------------------
+# geo_pip_tiles: ray-cast point-in-polygon tile assignment (G5 + J5 area
+# side).  Right triangles from supplier; tiles whose center the triangle
+# contains.  The oracle mirrors the kernel's per-edge crossing formula
+# exactly (same IEEE ops), so the parity decision is bit-identical.
+# ---------------------------------------------------------------------------
+
+def q_geo_pip_tiles(spark, sf_dir):
+    from ..operators.images import polygon_tile_assignment
+
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    k = F.col("s_suppkey")
+    x0 = ((k * 53) % 180).cast("double") * 35.0 + 0.25
+    y0 = ((k * 89) % 190).cast("double") * 55.0 + 0.25
+    w = (400 + (k % 7) * 260).cast("double")
+    h = (350 + (k % 5) * 330).cast("double")
+
+    def lonlat(xm, ym):
+        return (F.lit(LON0) + xm / F.lit(MPD_X)), (F.lit(LAT0) + ym / F.lit(MPD_Y))
+
+    ax, ay = lonlat(x0, y0)
+    bx, by = lonlat(x0 + w, y0)
+    cx, cy = lonlat(x0, y0 + h)
+    polys = s.select(
+        F.concat(F.lit("g"), k).alias("poly_id"),
+        F.array(
+            F.struct(ax.alias("x"), ay.alias("y")),
+            F.struct(bx.alias("x"), by.alias("y")),
+            F.struct(cx.alias("x"), cy.alias("y")),
+        ).alias("geometry"),
+    )
+    return polygon_tile_assignment(polys, 500.0)
+
+
+def _geo_pip_sql() -> str:
+    # roundtripped metric vertex coordinates, exactly like the Spark synth
+    return f"""
+WITH tri AS (
+  SELECT 'g' || CAST(s_suppkey AS VARCHAR) AS poly_id,
+    (({LON0!r} + (((s_suppkey * 53) % 180) * 35.0 + 0.25) / {_MX}) - {LON0!r}) * {_MX} AS x0,
+    (({LAT0!r} + (((s_suppkey * 89) % 190) * 55.0 + 0.25) / {_MY}) - {LAT0!r}) * {_MY} AS y0,
+    (({LON0!r} + ((((s_suppkey * 53) % 180) * 35.0 + 0.25) + (400 + (s_suppkey % 7) * 260)) / {_MX}) - {LON0!r}) * {_MX} AS x1,
+    (({LAT0!r} + ((((s_suppkey * 89) % 190) * 55.0 + 0.25) + (350 + (s_suppkey % 5) * 330)) / {_MY}) - {LAT0!r}) * {_MY} AS y1
+  FROM supplier
+),
+cand AS (
+  -- range() cannot be laterally correlated in DuckDB: use a fixed offset
+  -- grid (max triangle span is 1960 m < 5 tiles) bounded by the true bbox
+  SELECT poly_id, x0, y0, x1, y1, tx, ty,
+         (tx + 0.5) * 500.0 AS qx, (ty + 0.5) * 500.0 AS qy
+  FROM (
+    SELECT *,
+           CAST(FLOOR(x0 / 500.0) AS BIGINT) + dxs.range AS tx,
+           CAST(FLOOR(y0 / 500.0) AS BIGINT) + dys.range AS ty
+    FROM tri, range(0, 6) dxs, range(0, 6) dys
+  )
+  WHERE tx <= CAST(FLOOR(x1 / 500.0) AS BIGINT)
+    AND ty <= CAST(FLOOR(y1 / 500.0) AS BIGINT)
+),
+par AS (
+  SELECT poly_id, tx, ty,
+    -- edge V1(x1,y0) -> V2(x0,y1): xint = x1 + (qy-y0)/(y1-y0)*(x0-x1)
+    (CASE WHEN (y0 > qy) <> (y1 > qy)
+               AND qx < x1 + (qy - y0) / (y1 - y0) * (x0 - x1)
+          THEN 1 ELSE 0 END
+     -- edge V2(x0,y1) -> V0(x0,y0): xint = x0 + (qy-y1)/(y0-y1)*0 = x0
+   + CASE WHEN (y1 > qy) <> (y0 > qy) AND qx < x0 THEN 1 ELSE 0 END) AS crossings
+  FROM cand
+)
+SELECT poly_id,
+       ((tx + 1073741824) * 2147483648)
+       + ((ty + 1073741824) & 2147483647) AS tile_id
+FROM par WHERE crossings % 2 = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # geo_s2_cells: S2 leaf + level-16 parent (no SQL mirror: Hilbert curve) —
 # rows-only driver check; exactness is covered by pytest property tests
 # ---------------------------------------------------------------------------
@@ -394,20 +470,56 @@ def _cqi_oracle() -> str:
     return cqi_oracle_sql()
 
 
+def _roads_query(spark, sf_dir):
+    from .cqi_roads_query import q_cqi_score_roads_full
+
+    return q_cqi_score_roads_full(spark, sf_dir)
+
+
+def _offset_query(spark, sf_dir):
+    from .offset_query import q_cqi_offset_split
+
+    return q_cqi_offset_split(spark, sf_dir)
+
+
+def _roads_oracle() -> str:
+    from .cqi_roads_query import cqi_roads_oracle_sql
+
+    return cqi_roads_oracle_sql()
+
+
+def _offset_oracle() -> str:
+    from .offset_query import offset_oracle_sql
+
+    return offset_oracle_sql()
+
+
 QUERIES = {
     "cqi_score_ways": q_cqi_score_ways,
+    "cqi_score_roads_full": _roads_query,
+    "cqi_offset_split": _offset_query,
     "geo_knn": q_geo_knn,
     "geo_hex_cells": q_geo_hex_cells,
     "geo_point_tiles": q_geo_point_tiles,
+    "geo_pip_tiles": q_geo_pip_tiles,
     "geo_s2_cells": q_geo_s2_cells,
     "geo_sidepath_vote": q_geo_sidepath_vote,
 }
 
 ORACLES = {
     "cqi_score_ways": _cqi_oracle(),
+    "cqi_score_roads_full": _roads_oracle(),
+    "cqi_offset_split": _offset_oracle(),
     "geo_knn": GEO_KNN_SQL,
     "geo_hex_cells": GEO_HEX_SQL,
     "geo_point_tiles": GEO_TILES_SQL,
-    # geo_s2_cells: rows-only (Hilbert curve has no reasonable SQL form)
+    "geo_pip_tiles": _geo_pip_sql(),
+    # geo_s2_cells: the Hilbert curve has no reasonable SQL form, so the
+    # mirror is a committed expected table (generated once from the engine at
+    # sf0.01, hierarchy/adjacency-property-tested in tests/test_cells.py)
+    "geo_s2_cells": (
+        "SELECT point_id, s2_leaf, s2_l16 FROM "
+        "read_parquet('/root/repo/tests/golden/geo_s2_sf001.parquet')"
+    ),
     "geo_sidepath_vote": _geo_vote_sql(),
 }

@@ -330,15 +330,26 @@ def ann_buckets_sql(n_planes: int = 8) -> str:
 
 def ann_lsh_topk_sql(k: int = 5, n_planes: int = 8) -> str:
     """LSH top-k is deterministic (fixed hyperplanes), so it has an exact
-    mirror: candidates share the query's bucket, ranked by exact cosine.
-    Queries come from the same table, so the query bucket IS the corpus
-    bucket of that vec_id."""
+    mirror: candidates share one of the query's multi-probe buckets (its own
+    bucket plus every Hamming-1 neighbor), ranked by exact cosine.  Queries
+    come from the same table, so the query bucket IS the corpus bucket of
+    that vec_id.  A query's probe buckets are distinct and each corpus row
+    has one bucket, so the probe join cannot duplicate a pair."""
+    probe_rows = "\nUNION ALL\n".join(
+        f"  SELECT vec_id AS query_id, xor(bucket, {1 << i}::BIGINT) AS bucket "
+        f"FROM buckets WHERE {_QUERY_FILTER}"
+        for i in range(n_planes)
+    )
     return f"""
 WITH {_FLAT}, {_bucket_sql(n_planes)},
+probes AS (
+  SELECT vec_id AS query_id, bucket FROM buckets WHERE {_QUERY_FILTER}
+UNION ALL
+{probe_rows}
+),
 cand AS (
-  SELECT q.vec_id AS query_id, c.vec_id
-  FROM buckets q JOIN buckets c USING (bucket)
-  WHERE q.{_QUERY_FILTER}
+  SELECT p.query_id, c.vec_id
+  FROM probes p JOIN buckets c USING (bucket)
 ),
 dots AS (
   SELECT cd.query_id, cd.vec_id,

@@ -30,18 +30,39 @@ def read_geojson(spark: SparkSession, *paths: str) -> DataFrame:
         "geometry struct<type string, coordinates string>, "
         "properties map<string,string>>>"
     )
-    for path in paths:
-        raw = spark.read.option("multiLine", "true").schema(schema).json(path)
-        feats = raw.select(F.explode("features").alias("f")).where(
-            F.col("f.geometry.type") == "LineString"
-        )
+    # newline-delimited Feature records (this module's own sink shape): one
+    # JSON object per line, top-level geometry/properties
+    nd_schema = (
+        "geometry struct<type string, coordinates string>, "
+        "properties map<string,string>"
+    )
+
+    def _features_to_ways(feats: DataFrame) -> DataFrame:
         coords = F.from_json(F.col("f.geometry.coordinates"), "array<array<double>>")
         geom = F.transform(
             coords, lambda pt: F.struct(pt[0].alias("x"), pt[1].alias("y"))
         ).alias("geometry")
         props = F.col("f.properties")
         cols = [props[k].alias(k) for k in P.ATTRIBUTES_LIST]
-        dfs.append(feats.select(geom, *cols))
+        return feats.select(geom, *cols)
+
+    for path in paths:
+        # FeatureCollection shape (reference input): whole-file JSON with a
+        # features array.  An NDJSON input contributes 0 rows here (no
+        # features field), so the two reads are disjoint and union cleanly.
+        raw = spark.read.option("multiLine", "true").schema(schema).json(path)
+        fc = raw.select(F.explode("features").alias("f")).where(
+            F.col("f.geometry.type") == "LineString"
+        )
+        # NDJSON Feature shape (this sink's output): one Feature per line.
+        # A pretty-printed FeatureCollection parses as corrupt/NULL rows here
+        # and is filtered by the LineString predicate.
+        nd = (
+            spark.read.schema(nd_schema).json(path)
+            .select(F.struct("geometry", "properties").alias("f"))
+            .where(F.col("f.geometry.type") == "LineString")
+        )
+        dfs.append(_features_to_ways(fc).unionByName(_features_to_ways(nd)))
     if len(dfs) == 1:
         return dfs[0]
     # S2 multi-file merge
