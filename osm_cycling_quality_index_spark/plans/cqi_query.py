@@ -48,7 +48,15 @@ def _pick(key, values):
 
 
 def _ways_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # the test-data files are single-row-group parquet, so scan parallelism
+    # is structurally 1 whatever the split size; the scalar pipeline is
+    # compute-bound (>10^4 expr ops/row), so one 10 MB round-robin exchange
+    # to fill every core is the right trade.  On real multi-row-group input
+    # the scan parallelizes naturally and this repartition is AQE-coalesced
+    # noise, not a bottleneck.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     k1, k2, k3 = F.col("l_partkey"), F.col("l_suppkey"), F.col("l_orderkey")
     width = (
         F.when(k2 % 17 == 0, F.lit("junk"))

@@ -65,7 +65,11 @@ def _pick(key, values):
 
 
 def _ways_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # single-row-group test file: repartition or run on one core
+    # (see cqi_query._ways_df for the full rationale)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     k1, k2 = F.col("o_orderkey"), F.col("o_custkey")
     keys = {"k1": k1, "k2": k2}
     cols = {

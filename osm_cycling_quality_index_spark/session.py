@@ -49,6 +49,11 @@ def get_spark(
         # 64KB JVM method limit without splitting; keep codegen on but allow
         # fallback instead of failing
         .config("spark.sql.codegen.fallback", "true")
+        # the scalar pipeline builds ~10^4 Column nodes per query; the
+        # per-API-call call-site capture (getActiveSession + JVM origin
+        # round-trips) multiplies driver build time ~2x for zero benefit in
+        # a non-interactive engine
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
