@@ -54,37 +54,40 @@ def word_ids(tokens: DataFrame, mode: str = "dictionary",
 
     Dictionary ids are the global 1-based rank of the word — computed
     WITHOUT a global window (which would single-partition the vocabulary):
-    range-partition the distinct vocab on ``word`` (partitions are globally
-    ordered), rank within each partition, then add per-partition cumulative
-    offsets.  The offset table is ``vocab_partitions`` rows, folded through a
-    1-row-group window (explicit partition key, so no WindowExec warning).
-    The result is identical to ``dense_rank() OVER (ORDER BY word)`` and
-    invariant to where the sampled range boundaries fall.
+    rank within a *deterministic* bucket (the word's 3-char prefix — a pure
+    function of the value, never of physical layout), then add cumulative
+    bucket offsets.  The offset table is one row per occupied prefix
+    (bounded by alphabet³, tiny), folded through a 1-row-group window.  The
+    result is identical to ``dense_rank() OVER (ORDER BY word)``.
+
+    An earlier variant bucketed by ``spark_partition_id()`` after
+    ``repartitionByRange``; AQE re-layout (coalesce/skew-split of the range
+    exchange) can break the partition↔key-range correspondence and made ids
+    nondeterministic between plans.  Value-derived buckets cannot drift.
     """
     if mode == "xxhash":
         return tokens.withColumn("word_id", F.pmod(F.xxhash64("word"), F.lit(_P)))
     vocab = tokens.select("word").distinct()
     local = (
-        vocab.repartitionByRange(vocab_partitions, "word")
-        .withColumn("_pid", F.spark_partition_id())
+        vocab.withColumn("_bkt", F.substring("word", 1, 3))
         .withColumn(
             "_local",
-            F.row_number().over(Window.partitionBy("_pid").orderBy("word")),
+            F.row_number().over(Window.partitionBy("_bkt").orderBy("word")),
         )
     )
-    counts = local.groupBy("_pid").agg(F.max("_local").alias("_cnt"))
+    counts = local.groupBy("_bkt").agg(F.max("_local").alias("_cnt"))
     offsets = counts.withColumn(
         "_off",
         F.coalesce(
             F.sum("_cnt").over(
-                Window.partitionBy(F.lit(0)).orderBy("_pid")
+                Window.partitionBy(F.lit(0)).orderBy("_bkt")
                 .rowsBetween(Window.unboundedPreceding, -1)
             ),
             F.lit(0),
         ),
-    ).select("_pid", "_off")
+    ).select("_bkt", "_off")
     vocab_ids = (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(offsets), "_bkt")
         .select("word", (F.col("_local") + F.col("_off")).alias("word_id"))
     )
     # vocabulary is tiny relative to the corpus -> broadcast-joined
@@ -139,12 +142,17 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures(
     df: DataFrame, n_hashes: int = 16, text_col: str = "text",
-    mode: str = "dictionary",
+    mode: str = "dictionary", tokens: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per doc: sig_i = min over words of
     (a_i*word_id + b_i) mod P, with a_i = 2i+1, b_i = 31*i+7 (fixed affine
-    family), over 3-word shingles.  Output: (doc_id, sig array<long>)."""
-    toks = word_ids(tokenize(df, text_col, "shingle"), mode)
+    family), over 3-word shingles.  Output: (doc_id, sig array<long>).
+
+    ``tokens`` lets a caller that already shingled the corpus (e.g. the LSH
+    pair pipeline, which also needs the shingle sets for exact verify) share
+    one tokenize+distinct pass instead of re-running it."""
+    toks = word_ids(tokens if tokens is not None
+                    else tokenize(df, text_col, "shingle"), mode)
     aggs = [
         F.min((F.col("word_id") * (2 * i + 1) + (31 * i + 7)) % _P).alias(f"h{i}")
         for i in range(n_hashes)
@@ -165,7 +173,12 @@ def minhash_lsh_pairs(
     Output: (doc_a, doc_b, jaccard).
     """
     rows = n_hashes // bands
-    sig = minhash_signatures(df, n_hashes, text_col, mode)
+    # one tokenize pass feeds the signature branch, the word-id vocabulary
+    # and the exact-verify shingle sets (column pruning makes the three
+    # subtrees non-identical, so ReuseExchange can NOT dedup them); a lazy
+    # persist is the materialization point that makes it one pass at scale
+    toks = tokenize(df, text_col, "shingle").persist()
+    sig = minhash_signatures(df, n_hashes, text_col, mode, tokens=toks)
     banded = sig.select(
         "doc_id",
         F.posexplode(
@@ -187,11 +200,7 @@ def minhash_lsh_pairs(
     # pair): attach each side's shingle set by equi-join and intersect the
     # arrays per pair — candidate volume post-LSH is tiny, so the arrays
     # never ride through a wide shuffle
-    sets_ = (
-        tokenize(df, text_col, "shingle")
-        .groupBy("doc_id")
-        .agg(F.collect_set("word").alias("words"))
-    )
+    sets_ = toks.groupBy("doc_id").agg(F.collect_set("word").alias("words"))
     sa = sets_.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
     sb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
     common = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
