@@ -112,6 +112,23 @@ def test_geotag_broadcast_parity(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_knn_broadcast_parity(spark):
+    """knn_ways_broadcast (zero-shuffle CSR-index form) must reproduce the
+    shuffle path bit-for-bit: same two-round guarantee semantics, same
+    (dist, way_id) tie-break, same drop of candidate-less points."""
+    from osm_cycling_quality_index_spark.operators import images as I
+    from osm_cycling_quality_index_spark.sources import synth
+
+    wpdf = synth.ways_pdf(n_roads=40)
+    ways = synth.ways_df(spark, n_roads=40).select("id", "geometry")
+    imgs = synth.images_df(spark, wpdf, n_images=400).select("image_id", "lon", "lat")
+    a = I.knn_ways(imgs, ways, k=3, res=8, rings=2).select(
+        "image_id", "way_id", "rank", F.round("dist_m", 9).alias("d"))
+    b = I.knn_ways_broadcast(imgs, ways, k=3, res=8, rings=2).select(
+        "image_id", "way_id", "rank", F.round("dist_m", 9).alias("d"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 # ---------------------------------------------------------------------------
 # ANN: LSH top-k recall floor vs brute force
 # ---------------------------------------------------------------------------
