@@ -198,9 +198,9 @@ FROM pts
 # exactly (same IEEE ops), so the parity decision is bit-identical.
 # ---------------------------------------------------------------------------
 
-def q_geo_pip_tiles(spark, sf_dir):
-    from ..operators.images import polygon_tile_assignment
-
+def _triangles_df(spark, sf_dir):
+    """Supplier-derived right triangles (shared by the PIP tile assignment
+    and the PIP join queries)."""
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     k = F.col("s_suppkey")
     x0 = ((k * 53) % 180).cast("double") * 35.0 + 0.25
@@ -214,7 +214,7 @@ def q_geo_pip_tiles(spark, sf_dir):
     ax, ay = lonlat(x0, y0)
     bx, by = lonlat(x0 + w, y0)
     cx, cy = lonlat(x0, y0 + h)
-    polys = s.select(
+    return s.select(
         F.concat(F.lit("g"), k).alias("poly_id"),
         F.array(
             F.struct(ax.alias("x"), ay.alias("y")),
@@ -222,7 +222,22 @@ def q_geo_pip_tiles(spark, sf_dir):
             F.struct(cx.alias("x"), cy.alias("y")),
         ).alias("geometry"),
     )
-    return polygon_tile_assignment(polys, 500.0)
+
+
+def q_geo_pip_tiles(spark, sf_dir):
+    from ..operators.images import polygon_tile_assignment
+
+    return polygon_tile_assignment(_triangles_df(spark, sf_dir), 500.0)
+
+
+def q_geo_pip_join(spark, sf_dir):
+    """Broadcast cell-bucketed PIP join: customer points inside supplier
+    triangles (north_star's point-in-polygon join form)."""
+    from ..operators.images import pip_join
+
+    return pip_join(
+        _points_df(spark, sf_dir), _triangles_df(spark, sf_dir), res=7
+    ).select(F.col("image_id").alias("point_id"), "poly_id")
 
 
 def _geo_pip_sql() -> str:
@@ -458,6 +473,35 @@ LEFT JOIN ms ON ms.pid = v.pid AND ms.road_highway = cls.derived_class
 """
 
 
+def _geo_pip_join_sql() -> str:
+    """Exact mirror of q_geo_pip_join: the cell-bucketing only generates
+    candidates (inside => shares a covering cell), so the oracle verifies
+    the semantics with a plain cross join + the identical per-edge crossing
+    formulas (edge A->B is horizontal and can never cross the +x ray)."""
+    return f"""
+WITH {_POINTS_SQL},
+tri AS (
+  SELECT 'g' || CAST(s_suppkey AS VARCHAR) AS poly_id,
+    (({LON0!r} + (((s_suppkey * 53) % 180) * 35.0 + 0.25) / {_MX}) - {LON0!r}) * {_MX} AS x0,
+    (({LAT0!r} + (((s_suppkey * 89) % 190) * 55.0 + 0.25) / {_MY}) - {LAT0!r}) * {_MY} AS y0,
+    (({LON0!r} + ((((s_suppkey * 53) % 180) * 35.0 + 0.25) + (400 + (s_suppkey % 7) * 260)) / {_MX}) - {LON0!r}) * {_MX} AS x1,
+    (({LAT0!r} + ((((s_suppkey * 89) % 190) * 55.0 + 0.25) + (350 + (s_suppkey % 5) * 330)) / {_MY}) - {LAT0!r}) * {_MY} AS y1
+  FROM supplier
+),
+par AS (
+  SELECT pts.image_id AS point_id, tri.poly_id,
+    (CASE WHEN (y0 > py) <> (y1 > py)
+               AND px < x1 + (py - y0) / (y1 - y0) * (x0 - x1)
+          THEN 1 ELSE 0 END
+   + CASE WHEN (y1 > py) <> (y0 > py)
+               AND px < x0 + (py - y1) / (y0 - y1) * (x0 - x0)
+          THEN 1 ELSE 0 END) AS crossings
+  FROM pts CROSS JOIN tri
+)
+SELECT point_id, poly_id FROM par WHERE crossings % 2 = 1
+"""
+
+
 def q_cqi_score_ways(spark, sf_dir):
     from .cqi_query import q_cqi_score_ways as _q
 
@@ -502,6 +546,7 @@ QUERIES = {
     "geo_hex_cells": q_geo_hex_cells,
     "geo_point_tiles": q_geo_point_tiles,
     "geo_pip_tiles": q_geo_pip_tiles,
+    "geo_pip_join": q_geo_pip_join,
     "geo_s2_cells": q_geo_s2_cells,
     "geo_sidepath_vote": q_geo_sidepath_vote,
 }
@@ -514,6 +559,7 @@ ORACLES = {
     "geo_hex_cells": GEO_HEX_SQL,
     "geo_point_tiles": GEO_TILES_SQL,
     "geo_pip_tiles": _geo_pip_sql(),
+    "geo_pip_join": _geo_pip_join_sql(),
     # geo_s2_cells: the Hilbert curve has no reasonable SQL form, so the
     # mirror is a committed expected table (generated once from the engine at
     # sf0.01, hierarchy/adjacency-property-tested in tests/test_cells.py)

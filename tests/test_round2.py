@@ -112,6 +112,47 @@ def test_geotag_broadcast_parity(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_pip_join_brute_force(spark):
+    """pip_join (cell-bucketed candidates + column-math ray cast) must equal
+    the numpy ray_cast_pip kernel applied all-pairs."""
+    import numpy as np
+
+    from osm_cycling_quality_index_spark.geo.kernels import (
+        LAT0, LON0, MPD_X, MPD_Y, project, ray_cast_pip,
+    )
+    from osm_cycling_quality_index_spark.operators.images import pip_join
+
+    rng = np.random.default_rng(3)
+    polys = []
+    for i in range(15):
+        x0, y0 = rng.uniform(0, 6000, 2)
+        w, h = rng.uniform(300, 2500, 2)
+        ring = [(x0, y0), (x0 + w, y0 + rng.uniform(-200, 200)),
+                (x0 + rng.uniform(-200, 200), y0 + h)]
+        polys.append((f"g{i}", [
+            {"x": float(LON0 + x / MPD_X), "y": float(LAT0 + y / MPD_Y)}
+            for x, y in ring
+        ]))
+    pts = [(str(j), float(LON0 + x / MPD_X), float(LAT0 + y / MPD_Y),
+            float(x), float(y))
+           for j, (x, y) in enumerate(rng.uniform(0, 6500, (1500, 2)))]
+    pdf = spark.createDataFrame(
+        polys, "poly_id string, geometry array<struct<x double, y double>>")
+    tdf = spark.createDataFrame(
+        [(p[0], p[1], p[2]) for p in pts], "image_id string, lon double, lat double")
+    got = {(r["image_id"], r["poly_id"])
+           for r in pip_join(tdf, pdf, res=7).collect()}
+    qx = np.array([p[3] for p in pts])
+    qy = np.array([p[4] for p in pts])
+    want = set()
+    for pid, ring in polys:
+        rx, ry = project(np.array([v["x"] for v in ring]),
+                         np.array([v["y"] for v in ring]))
+        for j in np.flatnonzero(ray_cast_pip(qx, qy, rx, ry)):
+            want.add((pts[j][0], pid))
+    assert got == want and len(want) > 0
+
+
 def test_knn_broadcast_parity(spark):
     """knn_ways_broadcast (zero-shuffle CSR-index form) must reproduce the
     shuffle path bit-for-bit: same two-round guarantee semantics, same
