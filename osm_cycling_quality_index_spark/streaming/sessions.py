@@ -10,6 +10,8 @@ module is engine capability surface, not parity surface.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -40,6 +42,68 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
             F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
         )
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+def _session_accumulate(secs, last_ts, n_sessions, n_events, gap_s):
+    """Pure accumulator for one sorted chunk of a user's epoch-seconds:
+    returns the advanced (last_ts, n_sessions, n_events).  Unit-testable
+    without Spark state; the first element closes against ``last_ts`` from
+    the previous micro-batch (None = no history)."""
+    if len(secs) == 0:
+        return last_ts, n_sessions, n_events
+    prev = np.empty(len(secs), dtype=np.float64)
+    prev[1:] = secs[:-1]
+    prev[0] = np.nan if last_ts is None else last_ts
+    gaps = secs - prev
+    new = np.isnan(gaps) | (gaps > gap_s)
+    return float(secs[-1]), n_sessions + int(new.sum()), n_events + len(secs)
+
+
+def streaming_sessionize(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user session counting whose state (last event time + running
+    counts) survives across micro-batches — the semantics of
+    :func:`sessionize` under continuous arrival.  Emits the running
+    (user_id, n_sessions, n_events) for every group touched by a batch;
+    ``n_events`` is monotone per user, so the latest row per user is the
+    one with max ``n_events``.
+
+    Events are assumed time-ordered ACROSS batches per user (the standard
+    log-ingestion contract); within a batch any order is fine (sorted
+    here).  State is three scalars per user — bounded, no timeline kept."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = float(gap_minutes * 60)
+    empty = np.array([], dtype=np.float64)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            last_ts, ns, ne = state.get
+        else:
+            last_ts, ns, ne = None, 0, 0
+        chunk = pd.concat(list(pdfs), ignore_index=True)
+        chunk = chunk.sort_values(["ts", "event_id"])
+        # epoch seconds truncated to long — identical to the batch form's
+        # cast("timestamp").cast("long")
+        secs = (
+            chunk["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+        ).to_numpy(dtype=np.float64) if len(chunk) else empty
+        last_ts, ns, ne = _session_accumulate(secs, last_ts, ns, ne, gap_s)
+        state.update((last_ts, ns, ne))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [ns], "n_events": [ne]}
+        )
+
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_sessions long, n_events long",
+            stateStructType="last_ts double, n_sessions long, n_events long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 

@@ -112,6 +112,48 @@ def test_geotag_broadcast_parity(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState session counting across two micro-batches must
+    equal the batch window form on the full event set."""
+    import os
+    import time as _time
+
+    from osm_cycling_quality_index_spark.streaming.sessions import (
+        sessionize, streaming_sessionize,
+    )
+
+    events = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).select("event_id", "ts", "user_id")
+    cut = events.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+    src = str(tmp_path / "events_in")
+    os.makedirs(src)
+    # batch 1 = earlier half, batch 2 = later half; the file source orders
+    # batches by modification time, so stamp them explicitly
+    events.where(F.col("ts") <= cut).coalesce(1).write.parquet(f"{src}/b1")
+    events.where(F.col("ts") > cut).coalesce(1).write.parquet(f"{src}/b2")
+    now = _time.time()
+    for sub, mt in (("b1", now - 100), ("b2", now)):
+        for f in os.listdir(f"{src}/{sub}"):
+            os.utime(f"{src}/{sub}/{f}", (mt, mt))
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{src}/*")
+    out = streaming_sessionize(stream)
+    q = (
+        out.writeStream.format("memory").queryName("sessionize_test")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # n_events is monotone per user: the final answer is the max-n_events row
+    got = spark.sql(
+        "SELECT user_id, max_by(n_sessions, n_events) AS n_sessions, "
+        "MAX(n_events) AS n_events FROM sessionize_test GROUP BY user_id"
+    )
+    want = sessionize(events)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
 def test_pip_join_brute_force(spark):
     """pip_join (cell-bucketed candidates + column-math ray cast) must equal
     the numpy ray_cast_pip kernel applied all-pairs."""
