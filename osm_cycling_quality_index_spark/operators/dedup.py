@@ -268,19 +268,26 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicates over (vec_id, embedding array<float>).
 
     Candidates via sign-bucket LSH (8 deterministic hyperplanes) then exact
-    cosine verify.  Output: (vec_a, vec_b, cos_sim)."""
+    cosine verify.  The candidate self-join and its dedup shuffle carry IDS
+    ONLY — vectors re-attach afterwards by one equi-join per side (the repo
+    rule for payloads: post-LSH candidate volume is tiny, so the arrays
+    never ride a wide shuffle).  Output: (vec_a, vec_b, cos_sim)."""
     from .ann import cosine, hyperplane_buckets
 
-    b = hyperplane_buckets(df, n_planes=8)
-    a_side = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket")
-    b_side = b.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket")
+    b = hyperplane_buckets(df, n_planes=8).select("vec_id", "bucket")
     cand = (
-        a_side.join(b_side, "bucket")
+        b.select(F.col("vec_id").alias("vec_a"), "bucket")
+        .join(b.select(F.col("vec_id").alias("vec_b"), "bucket"), "bucket")
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "emb_a", "emb_b")
+        .select("vec_a", "vec_b")
         .distinct()
     )
-    sim = cand.withColumn("cos_sim", cosine(F.col("emb_a"), F.col("emb_b")))
+    ea = df.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = df.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    sim = (
+        cand.join(ea, "vec_a").join(eb, "vec_b")
+        .withColumn("cos_sim", cosine(F.col("emb_a"), F.col("emb_b")))
+    )
     return (
         sim.where(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))

@@ -112,6 +112,39 @@ def test_geotag_broadcast_parity(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_resize_and_image_embeddings(spark):
+    """Multimodal operators: thumbnails decode to the requested shape, and
+    duplicate payloads produce identical embeddings that the embedding
+    near-dup operator then finds — the end-to-end image near-dup path."""
+    from osm_cycling_quality_index_spark.imaging import codec
+    from osm_cycling_quality_index_spark.operators.dedup import embedding_near_dups
+    from osm_cycling_quality_index_spark.operators.images import (
+        image_embeddings, resize_images,
+    )
+    from osm_cycling_quality_index_spark.sources import synth
+
+    wpdf = synth.ways_pdf(n_roads=10)
+    imgs = synth.images_df(spark, wpdf, n_images=60)
+    # plant an exact duplicate payload under a new id
+    dup = imgs.where(F.col("image_id") == "img0").withColumn(
+        "image_id", F.lit("img0_copy"))
+    imgs = imgs.unionByName(dup)
+
+    thumbs = resize_images(imgs, size=8).collect()
+    assert len(thumbs) == 61
+    for r in thumbs[:5]:
+        px = codec.decode(bytes(r["bytes"]), r["fmt"])
+        assert px.shape == (8, 8, 3) and r["w"] == 8 and r["h"] == 8
+
+    emb = image_embeddings(imgs, size=8).withColumnRenamed("image_id", "vec_id")
+    row = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    assert len(row["img0"]) == 64
+    assert row["img0"] == row["img0_copy"]
+    pairs = {(r["vec_a"], r["vec_b"])
+             for r in embedding_near_dups(emb, threshold=0.999).collect()}
+    assert ("img0", "img0_copy") in pairs or ("img0_copy", "img0") in pairs
+
+
 def test_streaming_sessionize_stateful(spark, tmp_path):
     """applyInPandasWithState session counting across two micro-batches must
     equal the batch window form on the full event set."""
