@@ -56,21 +56,28 @@ def _plane(i: int, dim_col: Column) -> Column:
 
 def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
     """Sign-bit LSH bucket per row: bit i = [dot(embedding, plane_i) >= 0].
-    Output: input columns + bucket (long)."""
-    dims = F.posexplode(F.col("embedding"))
-    flat = embeddings.select("vec_id", dims.alias("d", "v"))
-    sums = flat.groupBy("vec_id").agg(
-        *[
-            F.sum(F.col("v").cast("double") * _plane(i, F.col("d"))).alias(f"s{i}")
-            for i in range(n_planes)
-        ]
-    )
+    Output: input columns + bucket (long).
+
+    MAP-ONLY: each plane's dot product is a sequential ``aggregate`` fold
+    over the array column — no posexplode-by-dimension (a dims-x row
+    inflation through a shuffle, the thing that cannot happen on a 10^12-row
+    corpus) and no re-join.  The fold order is deterministic
+    (left-to-right), unlike a shuffled groupBy sum; the sign decision has
+    ample float margin either way (property of the fixed plane family)."""
+    def s(i: int) -> Column:
+        contribs = F.transform(
+            F.sequence(F.lit(0), F.size("embedding") - 1),
+            lambda d: F.element_at(F.col("embedding"), (d + 1).cast("int")).cast("double")
+            * _plane(i, d),
+        )
+        return F.aggregate(contribs, F.lit(0.0), lambda acc, v: acc + v)
+
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):
-        bucket = bucket + F.when(F.col(f"s{i}") >= 0, F.lit(1 << i).cast("long")).otherwise(
+        bucket = bucket + F.when(s(i) >= 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return embeddings.join(sums.select("vec_id", bucket.alias("bucket")), "vec_id")
+    return embeddings.withColumn("bucket", bucket)
 
 
 def lsh_topk(
