@@ -41,10 +41,13 @@ def tokenize(df: DataFrame, text_col: str = "text", kind: str = "word") -> DataF
         ).otherwise(F.array().cast("array<string>"))
     else:
         tok = ws
+    # per-doc dedup BEFORE the explode: the distinct key is (doc_id, word),
+    # so array_distinct inside the row is equivalent to a global
+    # .distinct() — minus the full shuffle of every exploded token the
+    # global form costs.  tokenize is map-only.
     return (
-        df.select("doc_id", F.explode(tok).alias("word"))
+        df.select("doc_id", F.explode(F.array_distinct(tok)).alias("word"))
         .where(F.col("word") != "")
-        .distinct()
     )
 
 
@@ -67,15 +70,16 @@ def word_ids(tokens: DataFrame, mode: str = "dictionary",
     """
     if mode == "xxhash":
         return tokens.withColumn("word_id", F.pmod(F.xxhash64("word"), F.lit(_P)))
-    vocab = tokens.select("word").distinct()
-    local = (
-        vocab.withColumn("_bkt", F.substring("word", 1, 3))
-        .withColumn(
-            "_local",
-            F.row_number().over(Window.partitionBy("_bkt").orderBy("word")),
-        )
+    vocab = tokens.select("word").distinct().withColumn(
+        "_bkt", F.substring("word", 1, 3)
     )
-    counts = local.groupBy("_bkt").agg(F.max("_local").alias("_cnt"))
+    local = vocab.withColumn(
+        "_local",
+        F.row_number().over(Window.partitionBy("_bkt").orderBy("word")),
+    )
+    # bucket sizes come straight from the vocab (no rank needed), keeping
+    # the two consumers' subtrees identical up to the distinct's exchange
+    counts = vocab.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
     offsets = counts.withColumn(
         "_off",
         F.coalesce(
@@ -173,11 +177,11 @@ def minhash_lsh_pairs(
     Output: (doc_a, doc_b, jaccard).
     """
     rows = n_hashes // bands
-    # one tokenize pass feeds the signature branch, the word-id vocabulary
-    # and the exact-verify shingle sets (column pruning makes the three
-    # subtrees non-identical, so ReuseExchange can NOT dedup them); a lazy
-    # persist is the materialization point that makes it one pass at scale
-    toks = tokenize(df, text_col, "shingle").persist()
+    # tokenize is map-only (no shuffle), so the three consumers (signature
+    # branch, word-id vocabulary, exact-verify sets) recompute it from the
+    # scan rather than pinning 10^2x the corpus in cache — rescanning is the
+    # cheap side of that trade at every scale
+    toks = tokenize(df, text_col, "shingle")
     sig = minhash_signatures(df, n_hashes, text_col, mode, tokens=toks)
     banded = sig.select(
         "doc_id",
