@@ -145,6 +145,31 @@ def test_resize_and_image_embeddings(spark):
     assert ("img0", "img0_copy") in pairs or ("img0_copy", "img0") in pairs
 
 
+def test_sample_frames(spark):
+    """Frame sampling keeps every k-th frame, and sampled payloads decode
+    back to the exact source pixels (real container round-trip)."""
+    import numpy as np
+
+    from osm_cycling_quality_index_spark.imaging import codec
+    from osm_cycling_quality_index_spark.operators.images import sample_frames
+
+    rng = np.random.default_rng(11)
+    videos, source = [], {}
+    for v in range(3):
+        frames = [rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+                  for _ in range(7 + v)]
+        source[f"v{v}"] = frames
+        videos.append((f"v{v}", codec.video_encode(frames, "png"), "png"))
+    df = spark.createDataFrame(videos, "video_id string, bytes binary, fmt string")
+    rows = sample_frames(df, every_k=3).collect()
+    got = {(r["video_id"], r["frame_idx"]) for r in rows}
+    want = {(f"v{v}", i) for v in range(3) for i in range(0, 7 + v, 3)}
+    assert got == want
+    for r in rows:
+        px = codec.decode(bytes(r["bytes"]), r["fmt"])
+        assert (px == source[r["video_id"]][r["frame_idx"]]).all()
+
+
 def test_streaming_sessionize_stateful(spark, tmp_path):
     """applyInPandasWithState session counting across two micro-batches must
     equal the batch window form on the full event set."""
