@@ -170,6 +170,13 @@ def q_embedding_near_dups(spark, sf_dir):
     return dedup.embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF-flat approximate top-k (inverted-file scale path); deterministic
+    seed centroids keep it exactly SQL-mirrorable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.ivf_topk(emb, _queries_frame(emb), k=5)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """Approximate top-k (scale path) — rows-only check: recall-dependent,
     no exact SQL mirror by design (bucketing is the approximation)."""
@@ -206,6 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_buckets": q_ann_buckets,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
     }
     q.update(G.QUERIES)
     return q
@@ -233,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         # the LSH approximation is deterministic (fixed hyperplanes), so it
         # mirrors exactly; recall vs brute force is gated in pytest
         "ann_lsh_topk": O.ann_lsh_topk_sql(),
+        "ivf_topk": O.ivf_topk_sql(),
     }
     sql.update(G.ORACLES)
     return sql

@@ -117,3 +117,65 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k — the inverted-file alternative to
+    :func:`lsh_topk` (the brief's "IVF or LSH-bucketed variant").
+
+    Coarse quantizer: the ``n_centroids`` corpus vectors with the smallest
+    vec_ids, a deterministic seed choice that keeps the whole operator
+    SQL-mirrorable (a Lloyd-refined quantizer is a production knob that
+    trades the exact oracle for recall; the structure is identical).  Each
+    corpus vector is assigned to its max-cosine centroid (tie -> smallest
+    centroid id); each query probes its ``n_probe`` nearest centroids;
+    candidates are the union of the probed inverted lists, ranked by exact
+    cosine.  The centroid table is ~KB and broadcast everywhere; candidate
+    shuffles carry ids only, vectors re-attach by equi-join.
+    Output: (query_id, vec_id, cos_sim, rank)."""
+    cents = (
+        embeddings.orderBy("vec_id").limit(n_centroids)
+        .select(F.col("vec_id").alias("cseed"), F.col("embedding").alias("cvec"))
+        .withColumn(
+            "cid",
+            F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("cseed")),
+        )
+        .select("cid", "cvec")
+    )
+    # corpus -> inverted list id: argmax cosine over the broadcast centroids
+    cj = embeddings.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
+    csim = cosine(F.col("embedding"), F.col("cvec"))
+    assign = (
+        cj.select("vec_id", csim.alias("csim"), (-F.col("cid")).cast("long").alias("ncid"))
+        .groupBy("vec_id")
+        .agg(F.max(F.struct("csim", "ncid")).alias("b"))
+        .select("vec_id", (-F.col("b.ncid")).alias("cid"))
+    )
+    # query -> n_probe nearest centroids
+    qj = queries.crossJoin(F.broadcast(cents))
+    qsim = cosine(F.col("query_emb"), F.col("cvec"))
+    wp = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cid"))
+    probes = (
+        qj.select("query_id", "cid", qsim.alias("qsim"))
+        .withColumn("r", F.row_number().over(wp))
+        .where(F.col("r") <= n_probe)
+        .select("query_id", "cid")
+    )
+    cand = assign.join(F.broadcast(probes), "cid").select("query_id", "vec_id")
+    sim = (
+        cand.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn("cos_sim", cosine(F.col("embedding"), F.col("query_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )

@@ -378,6 +378,77 @@ SELECT query_id, vec_id, ROUND(cos_sim, 6) AS cos_sim, rank FROM (
 """
 
 
+def ivf_topk_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4) -> str:
+    """Exact mirror of ann.ivf_topk: seed centroids are the n_centroids
+    smallest vec_ids, corpus rows assign to their max-cosine centroid
+    (tie -> smallest cid), queries probe their n_probe nearest centroids."""
+    return f"""
+WITH {_FLAT},
+cents AS (
+  SELECT cseed, ROW_NUMBER() OVER (ORDER BY cseed) AS cid FROM (
+    SELECT vec_id AS cseed FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+  )
+),
+norms AS (
+  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+  FROM flat GROUP BY vec_id
+),
+cdots AS (
+  SELECT f.vec_id, c.cid, c.cseed,
+         SUM(CAST(f.v AS DOUBLE) * CAST(cf.v AS DOUBLE)) AS dp
+  FROM flat f
+  JOIN cents c ON TRUE
+  JOIN flat cf ON cf.vec_id = c.cseed AND cf.d = f.d
+  GROUP BY 1, 2, 3
+),
+csims AS (
+  SELECT d.vec_id, d.cid, d.dp / (nv.nrm * nc.nrm) AS csim
+  FROM cdots d
+  JOIN norms nv ON nv.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = d.cseed
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cid ASC) AS rn
+    FROM csims
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT vec_id AS query_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cid ASC) AS rn
+    FROM csims WHERE {_QUERY_FILTER}
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cid)
+),
+dots AS (
+  SELECT cd.query_id, cd.vec_id,
+         SUM(CAST(fc.v AS DOUBLE) * CAST(fq.v AS DOUBLE)) AS dp
+  FROM cand cd
+  JOIN flat fc ON fc.vec_id = cd.vec_id
+  JOIN flat fq ON fq.vec_id = cd.query_id AND fq.d = fc.d
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.query_id, d.vec_id, d.dp / (nc.nrm * nq.nrm) AS cos_sim
+  FROM dots d
+  JOIN norms nc ON nc.vec_id = d.vec_id
+  JOIN norms nq ON nq.vec_id = d.query_id
+)
+SELECT query_id, vec_id, ROUND(cos_sim, 6) AS cos_sim, rank FROM (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM sims
+) WHERE rank <= {k}
+"""
+
+
 def embedding_near_dups_sql(threshold: float = 0.95, n_planes: int = 8) -> str:
     return f"""
 WITH {_FLAT}, {_bucket_sql(n_planes)},

@@ -145,6 +145,35 @@ def test_resize_and_image_embeddings(spark):
     assert ("img0", "img0_copy") in pairs or ("img0_copy", "img0") in pairs
 
 
+def test_salted_cell_join_parity(spark):
+    """salt_cells + explode_salts must leave cell-join results unchanged —
+    a point's salted cell always lands on exactly one of the dimension
+    side's exploded salt replicas (same cell, matching salt)."""
+    import numpy as np
+
+    from osm_cycling_quality_index_spark.operators.images import (
+        explode_salts, salt_cells,
+    )
+
+    rng = np.random.default_rng(9)
+    # one hot cell (80% of points) + a long tail — the skew shape salting
+    # exists for
+    cells = np.where(rng.uniform(size=2000) < 0.8, 7,
+                     rng.integers(0, 50, 2000))
+    pts = spark.createDataFrame(
+        [(str(i), int(c)) for i, c in enumerate(cells)], "pid string, cell long")
+    dim = spark.createDataFrame(
+        [(f"w{c}", int(c)) for c in range(50)], "way string, cell long")
+    plain = pts.join(dim, "cell").select("pid", "way")
+    salted = (
+        salt_cells(pts, "cell", "pid", 8)
+        .join(explode_salts(dim, "cell", 8), "cell")
+        .select("pid", "way")
+    )
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
 def test_sample_frames(spark):
     """Frame sampling keeps every k-th frame, and sampled payloads decode
     back to the exact source pixels (real container round-trip)."""
@@ -295,6 +324,23 @@ def test_ann_lsh_recall(spark):
 # ---------------------------------------------------------------------------
 # GeoJSON source/sink round-trip (S1/S2/S3/S6)
 # ---------------------------------------------------------------------------
+
+def test_ivf_recall(spark):
+    """IVF-flat recall floor vs brute force (16 seed centroids, probe 4):
+    asserts the inverted lists aren't degenerate and documents the quality
+    of the deterministic-seed quantizer."""
+    from osm_cycling_quality_index_spark.operators import ann
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb")
+    )
+    exact = ann.brute_force_topk(emb, queries, k=5)
+    approx = ann.ivf_topk(emb, queries, k=5)
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    recall = hits / exact.count()
+    assert recall >= 0.5, f"recall@5 = {recall:.2f}"
+
 
 def test_geojson_roundtrip(spark, tmp_path):
     from osm_cycling_quality_index_spark.sources import geojson, synth
