@@ -330,7 +330,7 @@ def score(df: DataFrame) -> DataFrame:
     )
 
     # ---- data_missing accumulation in reference append order
-    dm = joined_flags([
+    dm_pairs = [
         (_c("dm_width_lanes"), "width:lanes"),
         (_c("dm_width_1"), "width"),
         (_c("dm_width_2"), "width"),
@@ -341,16 +341,19 @@ def score(df: DataFrame) -> DataFrame:
         (dm_crossing, "crossing"),
         (dm_crossing_markings, "crossing_markings"),
         (dm_lit, "lit"),
-    ])
+    ]
+    dm = joined_flags(dm_pairs)
 
     # data_incompleteness sums weights per token, duplicates counted twice
-    # (:1630-1638)
-    incompleteness = F.aggregate(
-        split_delimited(dm, ";"),
-        F.lit(0.0),
-        lambda acc, tok: acc
-        + F.coalesce(_map_lookup(tok, P.DATA_INCOMPLETENESS_DICT), F.lit(0.0)),
-    )
+    # (:1630-1638).  Summed straight from the flags (same order, +0.0 for
+    # unset flags — bit-identical to folding over the joined string) instead
+    # of re-parsing ``dm`` with F.aggregate: higher-order functions are
+    # CodegenFallback and would evict this whole Project from whole-stage
+    # codegen.
+    incompleteness = F.lit(0.0)
+    for flag, tok in dm_pairs:
+        w = P.DATA_INCOMPLETENESS_DICT.get(tok, 0.0)
+        incompleteness = incompleteness + F.when(flag, F.lit(w)).otherwise(F.lit(0.0))
 
     # ---- data bonus/malus strings in reference append order
     bonus = joined_flags([
