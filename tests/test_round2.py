@@ -375,3 +375,52 @@ def test_word_ids_rank(spark):
     want = {w: i + 1 for i, w in enumerate(vocab)}
     for r in got.select("word", "word_id").distinct().collect():
         assert r["word_id"] == want[r["word"]], r
+
+
+def test_checkpoint_snapshot_resume(spark, tmp_path):
+    """Snapshot commit is atomic (manifest replace) and resume returns the
+    last committed stage with lineage columns stripped."""
+    from osm_cycling_quality_index_spark.checkpoint import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "ckpt"))
+    assert t.latest() is None and t.read_latest(spark) is None
+    df1 = spark.range(10).withColumnRenamed("id", "k")
+    e1 = t.write(df1, "stage_a")
+    df2 = spark.range(5).withColumnRenamed("id", "k")
+    e2 = t.write(df2, "stage_b")
+    assert t.latest()["id"] == e2["id"]
+    assert t.has_stage("stage_a") and not t.has_stage("stage_c")
+    back_b = t.read_latest(spark)
+    assert back_b.columns == ["k"] and back_b.count() == 5
+    back_a = t.read_latest(spark, "stage_a")
+    assert back_a.count() == 10
+    # lineage columns are present in the stored snapshot itself
+    raw = spark.read.parquet(e1["path"])
+    assert {"_lineage_stage", "_lineage_snapshot", "_lineage_partition"} <= set(raw.columns)
+
+
+def test_streaming_geotag_broadcast(spark, tmp_path):
+    """The broadcast CSR geotag join is a stateless map, so it runs
+    unchanged under Structured Streaming; streamed output must equal the
+    batch join on the same points."""
+    from osm_cycling_quality_index_spark.operators import images as I
+    from osm_cycling_quality_index_spark.sources import synth
+
+    wpdf = synth.ways_pdf(n_roads=20)
+    ways = synth.ways_df(spark, n_roads=20).select("id", "geometry")
+    imgs = synth.images_df(spark, wpdf, n_images=300).select("image_id", "lon", "lat")
+    src = str(tmp_path / "imgs_in")
+    imgs.write.parquet(src)
+    idx = I.build_segment_index(ways, res=9, rings=1)
+    stream = spark.readStream.schema(imgs.schema).parquet(src)
+    out = I.geotag_join_broadcast(stream, ways, res=9, index=idx)
+    q = (
+        out.writeStream.format("memory").queryName("geotag_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT image_id, way_id, ROUND(dist_m, 6) AS d FROM geotag_stream")
+    want = I.geotag_join_broadcast(imgs, ways, res=9, index=idx).select(
+        "image_id", "way_id", F.round("dist_m", 6).alias("d"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
