@@ -107,6 +107,22 @@ def streaming_sessionize(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def streaming_dedup(stream: DataFrame, text_col: str = "text",
+                    ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact-dedup for a document stream: first arrival of each
+    content hash passes, later duplicates drop.  State is one xxhash64 per
+    distinct document, bounded by the watermark (duplicates arriving later
+    than ``watermark`` after the original are treated as new — the standard
+    state-retention trade; batch :func:`operators.dedup.dedup_exact` is the
+    exact form for reprocessing)."""
+    return (
+        stream.withColumn("_text_hash", F.xxhash64(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(["_text_hash"])
+        .drop("_text_hash")
+    )
+
+
 def streaming_tumbling(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Structured Streaming variant: tumbling 1h windows with late-data
     watermark.  ``stream`` must be a streaming DataFrame (readStream)."""

@@ -424,3 +424,30 @@ def test_streaming_geotag_broadcast(spark, tmp_path):
     want = I.geotag_join_broadcast(imgs, ways, res=9, index=idx).select(
         "image_id", "way_id", F.round("dist_m", 6).alias("d"))
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """First arrival of each document content passes, duplicates drop."""
+    from osm_cycling_quality_index_spark.streaming.sessions import streaming_dedup
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "alpha beta"),
+        (2, "2024-01-01 10:01:00", "gamma"),
+        (3, "2024-01-01 10:02:00", "alpha beta"),   # dup of 1
+        (4, "2024-01-01 10:03:00", "delta"),
+        (5, "2024-01-01 10:04:00", "gamma"),        # dup of 2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, ts string, text string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "docs_in")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        streaming_dedup(stream).writeStream.format("memory")
+        .queryName("dedup_stream").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    kept = {r["text"] for r in spark.sql("SELECT text FROM dedup_stream").collect()}
+    n = spark.sql("SELECT COUNT(*) AS n FROM dedup_stream").collect()[0]["n"]
+    assert kept == {"alpha beta", "gamma", "delta"} and n == 3
