@@ -80,6 +80,11 @@ def main(argv=None) -> int:
         geojson.write_geojson_features(
             export, f"{args.output.rstrip('/')}/scored_geojson"
         )
+        # S7: graduated QGIS style over `index`, same classes/colors as the
+        # reference's styles/index.qml
+        from osm_cycling_quality_index_spark.sources.style import write_qml_style
+
+        write_qml_style(f"{args.output.rstrip('/')}/scored_geojson.qml")
 
     # ---- image stages
     if args.synth_images or args.images:

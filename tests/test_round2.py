@@ -451,3 +451,30 @@ def test_streaming_dedup(spark, tmp_path):
     kept = {r["text"] for r in spark.sql("SELECT text FROM dedup_stream").collect()}
     n = spark.sql("SELECT COUNT(*) AS n FROM dedup_stream").collect()[0]["n"]
     assert kept == {"alpha beta", "gamma", "delta"} and n == 3
+
+
+def test_qml_style_sink(tmp_path):
+    """S7: the generated QML is well-formed XML with the reference's 11
+    graduated classes over `index` (bounds, labels, colors)."""
+    import xml.etree.ElementTree as ET
+
+    from osm_cycling_quality_index_spark.sources.style import (
+        INDEX_CLASSES, write_qml_style,
+    )
+
+    p = write_qml_style(str(tmp_path / "scored.qml"))
+    root = ET.parse(p).getroot()
+    rend = root.find("renderer-v2")
+    assert rend.get("attr") == "index" and rend.get("type") == "graduatedSymbol"
+    ranges = rend.find("ranges").findall("range")
+    assert len(ranges) == 11
+    assert [r.get("label") for r in ranges] == [c[2] for c in INDEX_CLASSES]
+    assert float(ranges[0].get("lower")) == 0.0
+    assert float(ranges[-1].get("upper")) == 100.0
+    symbols = rend.find("symbols").findall("symbol")
+    colors = []
+    for s in symbols:
+        for opt in s.iter("Option"):
+            if opt.get("name") == "line_color":
+                colors.append(opt.get("value"))
+    assert colors == [c[3] for c in INDEX_CLASSES]
