@@ -478,3 +478,51 @@ def test_qml_style_sink(tmp_path):
             if opt.get("name") == "line_color":
                 colors.append(opt.get("value"))
     assert colors == [c[3] for c in INDEX_CLASSES]
+
+
+def test_spatial_partition_pruning(spark, tmp_path):
+    """A pcell-partitioned layout prunes at the scan: the filtered read
+    plans PartitionFilters and returns exactly the partition's rows."""
+    from osm_cycling_quality_index_spark.sources.layout import (
+        with_partition_cell, write_spatially_partitioned,
+    )
+    from osm_cycling_quality_index_spark.plans.geo_queries import _points_df
+
+    pts = _points_df(spark, SF)
+    path = str(tmp_path / "pts_by_cell")
+    write_spatially_partitioned(pts, path, res=5)
+    want = with_partition_cell(pts, 5).groupBy("pcell").count().orderBy(
+        F.desc("count")).first()
+    got = spark.read.parquet(path).where(F.col("pcell") == want["pcell"])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "pcell" in plan.split("PartitionFilters")[1][:120]
+    assert got.count() == want["count"]
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed+sorted on the cell key sort-merge join with zero
+    exchanges — the persistent co-location strategy for recurring spatial
+    joins."""
+    from osm_cycling_quality_index_spark.sources.layout import (
+        bucketed_join, save_bucketed,
+    )
+
+    a = spark.range(0, 5000).select(
+        (F.col("id") % 97).alias("cell"), F.col("id").alias("pid"))
+    b = spark.range(0, 300).select(
+        (F.col("id") % 97).alias("cell"), F.col("id").alias("wid"))
+    save_bucketed(a, "pts_bkt", "cell", 8)
+    save_bucketed(b, "ways_bkt", "cell", 8)
+    try:
+        # disable broadcast so the join strategy under test is sort-merge
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = bucketed_join(spark, "pts_bkt", "ways_bkt", "cell")
+        n = j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:800]
+        want = a.join(b, "cell").count()
+        assert n == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS pts_bkt")
+        spark.sql("DROP TABLE IF EXISTS ways_bkt")
