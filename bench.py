@@ -54,6 +54,10 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         _materialize(queries[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 2)
     total = round(sum(timings.values()), 2)
+    # external tenant load on this shared box swings wall times up to ~10x;
+    # record it so a reader can spot contaminated runs
+    with open("/proc/loadavg") as fh:
+        load_after = fh.read().split()[:3]
     return {
         "metric": "headline_queries_wall",
         "value": total,
@@ -61,6 +65,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "queries": timings,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": cpus,
+        "ext_loadavg_after": load_after,
     }
 
 
