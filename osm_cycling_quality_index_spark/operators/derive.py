@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.colcache import ccol
+
 from .. import params as P
 from ..functions.nulls import falsy, fcoalesce, neq, notin, truthy
 from ..functions.rounding import pyround
@@ -29,7 +31,9 @@ from ..functions.tags import get_access
 
 
 def _c(name: str) -> Column:
-    return F.col(f"`{name}`")
+    # memoized: Column leaves are immutable and each F.col is a py4j
+    # round-trip (functions/colcache.py)
+    return ccol(f"`{name}`")
 
 
 def _nonzero(c: Column) -> Column:

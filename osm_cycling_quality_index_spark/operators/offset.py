@@ -16,6 +16,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.colcache import ccol
+
 from .. import params as P
 from ..functions.nulls import falsy, neq, truthy
 from ..functions.tags import derive_attribute, get_number
@@ -26,7 +28,9 @@ _YDP = ["yes", "designated", "permissive"]
 
 
 def _c(name: str) -> Column:
-    return F.col(f"`{name}`")
+    # memoized: Column leaves are immutable and each F.col is a py4j
+    # round-trip (functions/colcache.py)
+    return ccol(f"`{name}`")
 
 
 def _offset_value(width_based: Column, mode) -> Column:

@@ -19,6 +19,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.colcache import ccol
+
 from .. import params as P
 from ..functions.nulls import falsy, neq, notin, truthy
 from ..functions.rounding import pyround, pyround_int
@@ -26,7 +28,9 @@ from ..functions.tags import get_access, joined_flags, split_delimited
 
 
 def _c(name: str) -> Column:
-    return F.col(f"`{name}`")
+    # memoized: Column leaves are immutable and each F.col is a py4j
+    # round-trip (functions/colcache.py)
+    return ccol(f"`{name}`")
 
 
 def _nonzero(c: Column) -> Column:

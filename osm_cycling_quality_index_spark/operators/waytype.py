@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.colcache import ccol
+
 from ..functions.nulls import falsy, neq, notin, truthy
 from ..functions.tags import derive_separation, get_access
 
@@ -30,7 +32,9 @@ _FOOTWAY_LIKE = ["footway", "pedestrian", "bridleway", "steps"]
 
 
 def _c(name: str) -> Column:
-    return F.col(f"`{name}`")
+    # memoized: Column leaves are immutable and each F.col is a py4j
+    # round-trip (functions/colcache.py)
+    return ccol(f"`{name}`")
 
 
 def _side_tag(base: str, value, side: Column) -> Column:
