@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.colcache import ccol
+from ..functions.colcache import ccol, clit
 
 from .. import params as P
 from ..functions.nulls import falsy, fcoalesce, neq, notin, truthy
@@ -297,9 +297,9 @@ def _width_group_c_stage2(wt: Column) -> Column:
 def _map_lookup(key: Column, mapping: dict, fallback=None) -> Column:
     expr = None
     for k, v in mapping.items():
-        cond = key == k
-        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
-    return expr.otherwise(F.lit(fallback))
+        cond = key == clit(k)
+        expr = F.when(cond, clit(v)) if expr is None else expr.when(cond, clit(v))
+    return expr.otherwise(clit(fallback))
 
 
 def width_stage(df: DataFrame) -> DataFrame:

@@ -19,7 +19,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.colcache import ccol
+from ..functions.colcache import ccol, clit
 
 from .. import params as P
 from ..functions.nulls import falsy, neq, notin, truthy
@@ -40,8 +40,8 @@ def _nonzero(c: Column) -> Column:
 def _map_lookup(key: Column, mapping: dict) -> Column:
     expr = None
     for k, v in mapping.items():
-        cond = key == k
-        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+        cond = key == clit(k)
+        expr = F.when(cond, clit(v)) if expr is None else expr.when(cond, clit(v))
     return expr
 
 
