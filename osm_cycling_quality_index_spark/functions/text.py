@@ -34,6 +34,14 @@ def token_count(text: Column) -> Column:
     )
 
 
+def subword_token_count(text: Column) -> Column:
+    """BPE-ish token-count proxy: greedy <=4-char alphanumeric pieces plus
+    one token per non-space symbol — the cheap regex stand-in for a real
+    BPE vocabulary (both engines' regex semantics agree on this pattern:
+    leftmost match, greedy quantifier, no lookaround)."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"))
+
+
 def occurrences(text: Column, needle: str) -> Column:
     """Non-overlapping occurrence count via replace-length arithmetic."""
     return (
@@ -159,6 +167,7 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.length(t).alias("n_chars"),
         token_count(t).alias("n_tokens"),
+        subword_token_count(t).alias("n_subwords"),
         F.round(punct_ratio(t), 6).alias("punct_ratio"),
         lang_id(t).alias("lang"),
         quality_score(t).alias("quality"),

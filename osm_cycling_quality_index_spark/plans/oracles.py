@@ -243,6 +243,7 @@ WITH s AS (
 SELECT doc_id,
        length(text) AS n_chars,
        {tokens} AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]{{1,4}}|[^A-Za-z0-9\\s]')) AS n_subwords,
        ROUND({punct}, 6) AS punct_ratio,
        CASE WHEN {best_s} > 0 THEN {best_l} ELSE 'unknown' END AS lang,
        ROUND(
