@@ -46,8 +46,17 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     spark = get_spark(app_name="cqi-bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     queries = E.queries()
-    # warm the JVM/codegen path once with a trivial action
+    # warm the JVM/codegen path once with a trivial action, and spin up the
+    # python UDF workers (long-lived on a real cluster; their cold fork+
+    # import otherwise lands on whichever query first uses a pandas UDF)
     spark.range(1000).count()
+    from pyspark.sql import functions as _F
+
+    _materialize(
+        spark.range(32_000).repartition(cpus).select(
+            _F.pandas_udf(lambda s: s, "long")(_F.col("id"))
+        )
+    )
     timings = {}
     for name in HEADLINE:
         t0 = time.time()
