@@ -62,6 +62,10 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         t0 = time.time()
         _materialize(queries[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 2)
+        # queries persist fan-out frames internally; drop them so later
+        # queries aren't squeezed by accumulated storage memory (observed:
+        # 3-30x swings on the dedup query depending on what ran before it)
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 2)
     # external tenant load on this shared box swings wall times up to ~10x;
     # record it so a reader can spot contaminated runs
