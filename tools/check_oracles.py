@@ -54,6 +54,9 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             spark_rows = [r.asDict() for r in sdf.collect()]
             cols = sorted(sdf.columns)
+            # queries persist fan-out frames internally; don't let caches
+            # accumulate across the replay loop
+            spark.catalog.clearCache()
         except Exception as exc:  # noqa: BLE001
             print(f"[FAIL] {name}: spark error: {exc}")
             failures.append(name)
