@@ -526,3 +526,26 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS pts_bkt")
         spark.sql("DROP TABLE IF EXISTS ways_bkt")
+
+
+def test_word_ids_layout_invariance(spark):
+    """Regression for the round-2 nondeterminism bug: dictionary word ids
+    must be identical whatever the physical partitioning of the token frame
+    (the old spark_partition_id()-based rank broke under AQE re-layout)."""
+    from osm_cycling_quality_index_spark.operators.dedup import tokenize, word_ids
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = tokenize(docs, "text", "shingle")
+    layouts = [
+        toks,
+        toks.repartition(3),
+        toks.repartition(17, "doc_id"),
+        toks.coalesce(1),
+    ]
+    results = [
+        {(r["word"], r["word_id"])
+         for r in word_ids(t).select("word", "word_id").distinct().collect()}
+        for t in layouts
+    ]
+    assert all(r == results[0] for r in results[1:])
+    assert len(results[0]) > 100
