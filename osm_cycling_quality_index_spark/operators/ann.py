@@ -119,12 +119,40 @@ def lsh_topk(
     )
 
 
+def _lloyd_centroids(embeddings: DataFrame, n_centroids: int,
+                     iters: int, sample: int = 512):
+    """Deterministic driver-side k-means: the sample is the ``sample``
+    smallest vec_ids (stable across runs/layouts), seeds are its first
+    ``n_centroids`` vectors, refinement is ``iters`` Lloyd steps by cosine
+    (empty clusters keep their previous centroid; centroids re-normalized
+    each step).  Returns a list of (cid, [float...]) rows — the quantizer is
+    a dimension build, like the CSR segment index."""
+    import numpy as np
+
+    rows = embeddings.orderBy("vec_id").limit(sample).collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:n_centroids].copy()
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = np.argmax(sims, axis=1)  # ties -> lowest cid (argmax rule)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[c] = m / n
+    return [(c + 1, [float(v) for v in C[c]]) for c in range(n_centroids)]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate top-k — the inverted-file alternative to
     :func:`lsh_topk` (the brief's "IVF or LSH-bucketed variant").
@@ -139,15 +167,24 @@ def ivf_topk(
     cosine.  The centroid table is ~KB and broadcast everywhere; candidate
     shuffles carry ids only, vectors re-attach by equi-join.
     Output: (query_id, vec_id, cos_sim, rank)."""
-    cents = (
-        embeddings.orderBy("vec_id").limit(n_centroids)
-        .select(F.col("vec_id").alias("cseed"), F.col("embedding").alias("cvec"))
-        .withColumn(
-            "cid",
-            F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("cseed")),
+    if lloyd_iters > 0:
+        # production quantizer: Lloyd-refined centroids (deterministic
+        # sample + seeds, so still reproducible — just not SQL-mirrorable)
+        spark = embeddings.sparkSession
+        cents = spark.createDataFrame(
+            _lloyd_centroids(embeddings, n_centroids, lloyd_iters),
+            "cid int, cvec array<double>",
         )
-        .select("cid", "cvec")
-    )
+    else:
+        cents = (
+            embeddings.orderBy("vec_id").limit(n_centroids)
+            .select(F.col("vec_id").alias("cseed"), F.col("embedding").alias("cvec"))
+            .withColumn(
+                "cid",
+                F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("cseed")),
+            )
+            .select("cid", "cvec")
+        )
     # corpus -> inverted list id: argmax cosine over the broadcast centroids
     cj = embeddings.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
     csim = cosine(F.col("embedding"), F.col("cvec"))

@@ -549,3 +549,21 @@ def test_word_ids_layout_invariance(spark):
     ]
     assert all(r == results[0] for r in results[1:])
     assert len(results[0]) > 100
+
+
+def test_ivf_lloyd_recall(spark):
+    """The Lloyd-refined IVF quantizer (production knob) meets the same
+    recall floor as the seed quantizer and stays deterministic."""
+    from osm_cycling_quality_index_spark.operators import ann
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb")
+    )
+    exact = ann.brute_force_topk(emb, queries, k=5)
+    a1 = ann.ivf_topk(emb, queries, k=5, lloyd_iters=2)
+    a2 = ann.ivf_topk(emb, queries, k=5, lloyd_iters=2)
+    assert a1.exceptAll(a2).count() == 0 and a2.exceptAll(a1).count() == 0
+    hits = exact.join(a1, ["query_id", "vec_id"], "left_semi").count()
+    recall = hits / exact.count()
+    assert recall >= 0.5, f"lloyd recall@5 = {recall:.2f}"
