@@ -567,3 +567,18 @@ def test_ivf_lloyd_recall(spark):
     hits = exact.join(a1, ["query_id", "vec_id"], "left_semi").count()
     recall = hits / exact.count()
     assert recall >= 0.5, f"lloyd recall@5 = {recall:.2f}"
+
+
+def test_knn_auto_strategy(spark):
+    """The auto wrapper picks broadcast for a small dimension and shuffle
+    past the threshold; both deliver identical rows."""
+    from osm_cycling_quality_index_spark.operators import images as I
+    from osm_cycling_quality_index_spark.sources import synth
+
+    wpdf = synth.ways_pdf(n_roads=30)
+    ways = synth.ways_df(spark, n_roads=30).select("id", "geometry")
+    imgs = synth.images_df(spark, wpdf, n_images=200).select("image_id", "lon", "lat")
+    cols = ["image_id", "way_id", "rank"]
+    bc = I.knn_ways_auto(imgs, ways, k=2).select(cols)
+    sh = I.knn_ways_auto(imgs, ways, k=2, max_broadcast_ways=1).select(cols)
+    assert bc.exceptAll(sh).count() == 0 and sh.exceptAll(bc).count() == 0
