@@ -117,6 +117,22 @@ def q_events_tumbling(spark, sf_dir):
 # documents: dedup family + text analysis
 # ---------------------------------------------------------------------------
 
+def q_events_json(spark, sf_dir):
+    """JSON-function coverage (SURVEY §2.10): parse the props payload,
+    extract a typed field, aggregate per event type."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("text").agg(
@@ -203,6 +219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_parts": q_distinct_parts,
         "events_sessions": q_events_sessions,
         "events_tumbling": q_events_tumbling,
+        "events_json": q_events_json,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh,
@@ -229,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_parts": O.DISTINCT_PARTS,
         "events_sessions": O.EVENTS_SESSIONS,
         "events_tumbling": O.EVENTS_TUMBLING,
+        "events_json": O.EVENTS_JSON,
         "dedup_exact": O.DEDUP_EXACT,
         "jaccard_pairs": O.JACCARD_PAIRS.format(threshold=0.5),
         "minhash_lsh_pairs": O.minhash_lsh_sql(),

@@ -90,6 +90,13 @@ SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_ev
 FROM g GROUP BY user_id
 """
 
+EVENTS_JSON = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
 EVENTS_TUMBLING = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
