@@ -582,3 +582,31 @@ def test_knn_auto_strategy(spark):
     bc = I.knn_ways_auto(imgs, ways, k=2).select(cols)
     sh = I.knn_ways_auto(imgs, ways, k=2, max_broadcast_ways=1).select(cols)
     assert bc.exceptAll(sh).count() == 0 and sh.exceptAll(bc).count() == 0
+
+
+def test_main_resume_from_checkpoint(tmp_path):
+    """main.py re-run with the same --checkpoint must resume from the
+    committed snapshot (same scored output, snapshot count unchanged for
+    the scored stage)."""
+    import json
+    import subprocess
+    import sys
+
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    ckpt = str(tmp_path / "ckpt")
+    cmd = [sys.executable, "main.py", "--synth-roads", "25",
+           "--output", None, "--checkpoint", ckpt, "--master", "local[4]"]
+    for out in (out1, out2):
+        cmd[5] = out
+        r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr[-2000:]
+    with open(f"{ckpt}/_manifest.json") as fh:
+        snaps = [s["stage"] for s in json.load(fh)["snapshots"]]
+    assert snaps.count("scored") == 1  # second run resumed, didn't rewrite
+    from osm_cycling_quality_index_spark.session import get_spark
+    spark = get_spark(master="local[4]")
+    a = spark.read.parquet(f"{out1}/scored")
+    b = spark.read.parquet(f"{out2}/scored")
+    key = [c for c in a.columns if not c.startswith("_lineage")]
+    assert a.select(key).exceptAll(b.select(key)).count() == 0
+    assert a.count() == b.count() > 0
