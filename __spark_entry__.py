@@ -133,6 +133,23 @@ def q_events_json(spark, sf_dir):
     )
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join (operators/asof.py): each click event matched to the
+    latest view event at-or-before it per user — single keyed shuffle via
+    the union-sort-carry composition; DuckDB mirrors it with its native
+    ASOF LEFT JOIN."""
+    from osm_cycling_quality_index_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    l = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    r = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    return asof_join(l, r, by="user_id", ts="ts", payload=("event_id",))
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("text").agg(
@@ -220,6 +237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_tumbling": q_events_tumbling,
         "events_json": q_events_json,
+        "events_asof": q_events_asof,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh,
@@ -247,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": O.EVENTS_SESSIONS,
         "events_tumbling": O.EVENTS_TUMBLING,
         "events_json": O.EVENTS_JSON,
+        "events_asof": O.EVENTS_ASOF,
         "dedup_exact": O.DEDUP_EXACT,
         "jaccard_pairs": O.JACCARD_PAIRS.format(threshold=0.5),
         "minhash_lsh_pairs": O.minhash_lsh_sql(),

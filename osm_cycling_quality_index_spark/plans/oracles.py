@@ -97,6 +97,18 @@ SELECT event_type, COUNT(*) AS n,
 FROM events GROUP BY event_type
 """
 
+EVENTS_ASOF = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, MAX(event_id) AS event_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.ts, r.event_id AS r_event_id
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
 EVENTS_TUMBLING = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value

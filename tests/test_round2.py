@@ -610,3 +610,22 @@ def test_main_resume_from_checkpoint(tmp_path):
     key = [c for c in a.columns if not c.startswith("_lineage")]
     assert a.select(key).exceptAll(b.select(key)).count() == 0
     assert a.count() == b.count() > 0
+
+
+def test_asof_join_semantics(spark):
+    """Edge semantics: no-preceding-right -> NULL, equal timestamps match
+    (right sorts first), carry resets per key, payload fields stay atomic."""
+    from osm_cycling_quality_index_spark.operators.asof import asof_join
+
+    L = spark.createDataFrame(
+        [(1, "u1", 10), (2, "u1", 20), (3, "u1", 5), (4, "u2", 7)],
+        "event_id long, user_id string, ts long")
+    R = spark.createDataFrame(
+        [("u1", 10, 100, "a"), ("u1", 15, 101, None), ("u2", 99, 102, "c")],
+        "user_id string, ts long, event_id long, tag string")
+    out = {r["event_id"]: (r["r_event_id"], r["r_tag"])
+           for r in asof_join(L, R, payload=("event_id", "tag")).collect()}
+    assert out[1] == (100, "a")        # equal ts matches
+    assert out[2] == (101, None)       # later right wins; NULL field stays atomic
+    assert out[3] == (None, None)      # nothing precedes ts=5
+    assert out[4] == (None, None)      # other key's rows don't leak
