@@ -150,6 +150,32 @@ def q_events_asof(spark, sf_dir):
     return asof_join(l, r, by="user_id", ts="ts", payload=("event_id",))
 
 
+def q_range_join_count(spark, sf_dir):
+    """Range join (operators/ranges.py): per interval, how many point
+    values fall inside it — interval side binned to an equi-join, never a
+    theta-join.  Points from customer keys, intervals from supplier keys,
+    both deterministic."""
+    from osm_cycling_quality_index_spark.operators.ranges import range_join
+
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    pts = c.select(
+        F.col("c_custkey").alias("point_id"),
+        ((F.col("c_custkey") * 37) % 10000).cast("double").alias("v"),
+    )
+    iv = s.select(
+        F.col("s_suppkey").alias("interval_id"),
+        ((F.col("s_suppkey") * 13) % 9000).cast("double").alias("lo"),
+        (((F.col("s_suppkey") * 13) % 9000) + 120 + (F.col("s_suppkey") % 7) * 260)
+        .cast("double").alias("hi"),
+    )
+    return (
+        range_join(pts, iv, bin_size=500.0)
+        .groupBy("interval_id")
+        .agg(F.count(F.lit(1)).alias("n_points"), F.min("v").alias("min_v"))
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("text").agg(
@@ -238,6 +264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "events_json": q_events_json,
         "events_asof": q_events_asof,
+        "range_join_count": q_range_join_count,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh,
@@ -266,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling": O.EVENTS_TUMBLING,
         "events_json": O.EVENTS_JSON,
         "events_asof": O.EVENTS_ASOF,
+        "range_join_count": O.RANGE_JOIN_COUNT,
         "dedup_exact": O.DEDUP_EXACT,
         "jaccard_pairs": O.JACCARD_PAIRS.format(threshold=0.5),
         "minhash_lsh_pairs": O.minhash_lsh_sql(),

@@ -109,6 +109,22 @@ SELECT l.event_id, l.user_id, l.ts, r.event_id AS r_event_id
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
+RANGE_JOIN_COUNT = """
+WITH pts AS (
+  SELECT c_custkey AS point_id, CAST((c_custkey * 37) % 10000 AS DOUBLE) AS v
+  FROM customer
+),
+iv AS (
+  SELECT s_suppkey AS interval_id,
+         CAST((s_suppkey * 13) % 9000 AS DOUBLE) AS lo,
+         CAST(((s_suppkey * 13) % 9000) + 120 + (s_suppkey % 7) * 260 AS DOUBLE) AS hi
+  FROM supplier
+)
+SELECT interval_id, COUNT(*) AS n_points, MIN(v) AS min_v
+FROM pts JOIN iv ON v >= lo AND v < hi
+GROUP BY interval_id
+"""
+
 EVENTS_TUMBLING = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value

@@ -629,3 +629,27 @@ def test_asof_join_semantics(spark):
     assert out[2] == (101, None)       # later right wins; NULL field stays atomic
     assert out[3] == (None, None)      # nothing precedes ts=5
     assert out[4] == (None, None)      # other key's rows don't leak
+
+
+def test_range_join_brute_force(spark):
+    """Binned range join equals the brute-force theta-join for arbitrary
+    spans (including spans much larger than the bin)."""
+    import numpy as np
+
+    from osm_cycling_quality_index_spark.operators.ranges import range_join
+
+    rng = np.random.default_rng(13)
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(rng.uniform(0, 1000, 800))],
+        "point_id long, v double")
+    ivs = []
+    for i in range(60):
+        lo = float(rng.uniform(0, 950))
+        ivs.append((i, lo, lo + float(rng.uniform(1, 400))))
+    iv = spark.createDataFrame(ivs, "interval_id long, lo double, hi double")
+    got = {(r["point_id"], r["interval_id"])
+           for r in range_join(pts, iv, bin_size=50.0).collect()}
+    want = {(r["point_id"], r["interval_id"])
+            for r in pts.crossJoin(iv).where(
+                (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))).collect()}
+    assert got == want and len(want) > 1000
