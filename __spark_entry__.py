@@ -176,6 +176,20 @@ def q_range_join_count(spark, sf_dir):
     )
 
 
+def q_events_rollup(spark, sf_dir):
+    """Hypertable-style rollup: daily aggregates composed from hourly
+    algebraic partials (streaming/sessions.py), never rescanning the fact
+    table — equal to a direct daily aggregate by construction."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    # fixed-point partials: integer sums are exact in any order and any
+    # engine, which is what makes the composed rollup == the direct one
+    return S.rollup_daily(
+        S.hourly_partials(e, "value_cents"), scale=100.0
+    ).select("day", "event_type", "n", "avg_value")
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("text").agg(
@@ -265,6 +279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "events_asof": q_events_asof,
         "range_join_count": q_range_join_count,
+        "events_rollup": q_events_rollup,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh,
@@ -294,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json": O.EVENTS_JSON,
         "events_asof": O.EVENTS_ASOF,
         "range_join_count": O.RANGE_JOIN_COUNT,
+        "events_rollup": O.EVENTS_ROLLUP,
         "dedup_exact": O.DEDUP_EXACT,
         "jaccard_pairs": O.JACCARD_PAIRS.format(threshold=0.5),
         "minhash_lsh_pairs": O.minhash_lsh_sql(),

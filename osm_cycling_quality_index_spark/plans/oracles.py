@@ -125,6 +125,19 @@ FROM pts JOIN iv ON v >= lo AND v < hi
 GROUP BY interval_id
 """
 
+def _events_rollup_sql() -> str:
+    from ..functions.rounding import sql_pyround
+
+    r = sql_pyround("SUM(CAST(ROUND(value * 100) AS BIGINT)) / (COUNT(*) * 100.0)", 4)
+    return f"""
+SELECT date_trunc('day', ts) AS day, event_type,
+       COUNT(*) AS n, {r} AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+EVENTS_ROLLUP = _events_rollup_sql()
+
 EVENTS_TUMBLING = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value

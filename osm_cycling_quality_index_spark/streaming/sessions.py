@@ -15,6 +15,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import pyround
+
 
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Session counts per user: a new session starts when the gap to the
@@ -103,6 +105,39 @@ def streaming_sessionize(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
             stateStructType="last_ts double, n_sessions long, n_events long",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def hourly_partials(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Finest rollup level: hourly ALGEBRAIC partials (count + sum, from
+    which any coarser mean recomposes exactly).  This is the hypertable /
+    continuous-aggregate pattern: store partials at the fine grain, derive
+    every coarser grain by re-aggregating partials — never rescanning the
+    fact table."""
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_col).alias("sum_value"),
+    )
+
+
+def rollup_daily(hourly: DataFrame, scale: float = 1.0) -> DataFrame:
+    """Coarser rollup composed purely from the hourly partials: counts and
+    sums add, the mean recomposes as sum/count — identical to aggregating
+    the raw events directly (algebraic-aggregate property)."""
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("window_start")).alias("day"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value"))
+        .select(
+            "day", "event_type", "n",
+            # ``scale`` lets callers aggregate fixed-point integers (exact
+            # and order-independent — the gate does cents) and recover the
+            # real-valued mean here; pyround keeps tie rounding cross-engine
+            pyround(F.col("sum_value") / (F.col("n") * F.lit(scale)), 4).alias("avg_value"),
         )
     )
 

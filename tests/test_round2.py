@@ -653,3 +653,26 @@ def test_range_join_brute_force(spark):
             for r in pts.crossJoin(iv).where(
                 (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))).collect()}
     assert got == want and len(want) > 1000
+
+
+def test_rollup_composition(spark):
+    """Hypertable property: the daily rollup composed from hourly partials
+    equals aggregating the raw events directly (fixed-point partials make
+    the sums exact in any order)."""
+    from osm_cycling_quality_index_spark.functions.rounding import pyround
+    from osm_cycling_quality_index_spark.streaming.sessions import (
+        hourly_partials, rollup_daily,
+    )
+
+    e = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "value_cents", F.round(F.col("value") * 100, 0).cast("long"))
+    composed = rollup_daily(hourly_partials(e, "value_cents"), scale=100.0)
+    direct = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        pyround(F.sum("value_cents") / (F.count(F.lit(1)) * 100.0), 4)
+        .alias("avg_value"),
+    )
+    assert composed.exceptAll(direct).count() == 0
+    assert direct.exceptAll(composed).count() == 0
