@@ -190,6 +190,21 @@ def q_events_rollup(spark, sf_dir):
     ).select("day", "event_type", "n", "avg_value")
 
 
+def q_distinct_sketch(spark, sf_dir):
+    """KMV distinct sketch (operators/sketch.py): per event type, estimated
+    distinct users from the k smallest hash values, next to the exact
+    count — deterministic affine hash, so DuckDB mirrors it exactly."""
+    from osm_cycling_quality_index_spark.operators.sketch import (
+        kmv_estimate, kmv_sketch,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    est = kmv_estimate(kmv_sketch(e, "user_id", "event_type", k=64), k=64)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    return est.join(exact, "event_type")
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("text").agg(
@@ -280,6 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "range_join_count": q_range_join_count,
         "events_rollup": q_events_rollup,
+        "distinct_sketch": q_distinct_sketch,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh,
@@ -310,6 +326,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": O.EVENTS_ASOF,
         "range_join_count": O.RANGE_JOIN_COUNT,
         "events_rollup": O.EVENTS_ROLLUP,
+        "distinct_sketch": O.DISTINCT_SKETCH,
         "dedup_exact": O.DEDUP_EXACT,
         "jaccard_pairs": O.JACCARD_PAIRS.format(threshold=0.5),
         "minhash_lsh_pairs": O.minhash_lsh_sql(),

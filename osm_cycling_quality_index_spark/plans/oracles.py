@@ -138,6 +138,37 @@ FROM events GROUP BY 1, 2
 
 EVENTS_ROLLUP = _events_rollup_sql()
 
+def _distinct_sketch_sql(k: int = 64) -> str:
+    from ..functions.rounding import sql_pyround
+
+    est = sql_pyround(
+        f"CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE) "
+        f"ELSE ({k} - 1) * 2147483648.0 / h_k END", 4)
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type, (user_id * 2654435761) % 2147483648 AS h
+  FROM events
+),
+sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+    FROM hashes
+  ) WHERE r <= {k}
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS h_k FROM sk GROUP BY 1
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+)
+SELECT a.event_type, a.n_kept, {est} AS est_distinct, ex.n_exact
+FROM agg a JOIN ex USING (event_type)
+"""
+
+
+DISTINCT_SKETCH = _distinct_sketch_sql()
+
 EVENTS_TUMBLING = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value

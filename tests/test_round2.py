@@ -676,3 +676,30 @@ def test_rollup_composition(spark):
     )
     assert composed.exceptAll(direct).count() == 0
     assert direct.exceptAll(composed).count() == 0
+
+
+def test_kmv_merge_property(spark):
+    """Exact mergeability: per-day partial sketches composed with kmv_merge
+    equal sketching the whole table directly, and the estimator lands
+    within the expected ~1/sqrt(k) band of truth at k=32."""
+    from osm_cycling_quality_index_spark.operators.sketch import (
+        kmv_estimate, kmv_merge, kmv_sketch,
+    )
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    direct = kmv_sketch(e, "user_id", "event_type", k=32)
+    parts = [
+        kmv_sketch(e.where(F.dayofmonth("ts") % 3 == i), "user_id",
+                   "event_type", k=32)
+        for i in range(3)
+    ]
+    merged = kmv_merge(*parts, k=32)
+    assert direct.exceptAll(merged).count() == 0
+    assert merged.exceptAll(direct).count() == 0
+    est = {r["event_type"]: r["est_distinct"]
+           for r in kmv_estimate(direct, k=32).collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in e.groupBy("event_type").agg(
+                 F.countDistinct("user_id").alias("n")).collect()}
+    for t, n in exact.items():
+        assert abs(est[t] - n) / n < 0.35, (t, est[t], n)
