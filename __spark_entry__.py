@@ -266,8 +266,9 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Approximate top-k (scale path) — rows-only check: recall-dependent,
-    no exact SQL mirror by design (bucketing is the approximation)."""
+    """Approximate top-k (scale path).  The bucketing is deterministic
+    (fixed hyperplanes + Hamming-1 probes), so it carries an exact SQL
+    mirror (O.ann_lsh_topk_sql); recall vs brute force is gated in pytest."""
     emb = _t(spark, sf_dir, "embeddings")
     return ann.lsh_topk(emb, _queries_frame(emb), k=5)
 

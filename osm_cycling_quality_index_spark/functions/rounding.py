@@ -52,17 +52,31 @@ def force_double(sql: str) -> str:
     0.54500000000000001 and rounds up — a one-digit hash mismatch.  Forcing
     every fractional literal to DOUBLE makes both engines run identical IEEE
     arithmetic end-to-end.  Integer literals keep their integer semantics.
+    Text inside single-quoted strings AND double-quoted identifiers is left
+    untouched (a quoted column name like ``"ratio_0.5"`` must not be
+    rewritten).
     """
     import re
 
-    parts = sql.split("'")
-    for i in range(0, len(parts), 2):  # even indices are outside quotes
-        parts[i] = re.sub(
-            r"(?<![\w.])(\d+\.\d+)(?![\w.])",
-            r"CAST(\1 AS DOUBLE)",
-            parts[i],
-        )
-    return "'".join(parts)
+    pat = re.compile(r"(?<![\w.])(\d+\.\d+)(?![\w.])")
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            j = sql.find(ch, i + 1)
+            j = n - 1 if j == -1 else j
+            out.append(sql[i:j + 1])
+            i = j + 1
+        else:
+            j = n
+            for q in ("'", '"'):
+                k = sql.find(q, i)
+                if k != -1:
+                    j = min(j, k)
+            out.append(pat.sub(r"CAST(\1 AS DOUBLE)", sql[i:j]))
+            i = j
+    return "".join(out)
 
 
 def sql_pyround_int(expr: str) -> str:

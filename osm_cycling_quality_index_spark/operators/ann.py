@@ -77,7 +77,11 @@ def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
         bucket = bucket + F.when(s(i) >= 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return embeddings.withColumn("bucket", bucket)
+    # degenerate rows (NULL or empty embedding) are dropped, matching the
+    # old posexplode+inner-join form: without the guard an empty array makes
+    # sequence(0, -1) feed element_at an invalid index (hard job failure),
+    # and a NULL embedding would silently land in bucket 0
+    return embeddings.where(F.size("embedding") > 0).withColumn("bucket", bucket)
 
 
 def lsh_topk(
@@ -96,12 +100,21 @@ def lsh_topk(
         queries.select(F.col("query_id").alias("vec_id"), F.col("query_emb").alias("embedding")),
         n_planes,
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_emb"), "bucket")
-    if probe_hamming >= 1:
-        probes = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
-              for i in range(n_planes)],
+    if probe_hamming > 2:
+        raise ValueError(
+            f"probe_hamming={probe_hamming} not supported (max 2); larger "
+            "radii explode the probe count faster than they buy recall"
         )
+    if probe_hamming >= 1:
+        flips = [F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                 for i in range(n_planes)]
+        if probe_hamming >= 2:
+            flips += [
+                F.col("bucket")
+                .bitwiseXOR(F.lit((1 << i) | (1 << j)).cast("long"))
+                for i in range(n_planes) for j in range(i + 1, n_planes)
+            ]
+        probes = F.array(F.col("bucket"), *flips)
         qb = qb.select(
             "query_id", "query_emb", F.explode(probes).alias("bucket")
         )

@@ -283,8 +283,9 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95) -> DataFrame:
         b.select(F.col("vec_id").alias("vec_a"), "bucket")
         .join(b.select(F.col("vec_id").alias("vec_b"), "bucket"), "bucket")
         .where(F.col("vec_a") < F.col("vec_b"))
+        # no distinct: each vec_id carries exactly one bucket, so a pair can
+        # match on at most one bucket — the dedup shuffle would be pure cost
         .select("vec_a", "vec_b")
-        .distinct()
     )
     ea = df.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = df.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))

@@ -25,13 +25,19 @@ _H = 2147483648
 
 
 def _kmv_hash(key: Column) -> Column:
-    return (key.cast("long") * F.lit(2654435761)) % F.lit(_H)
+    # pmod, not %: Spark's % is sign-preserving, so a negative key would
+    # produce a negative "hash" that poisons the rank order and estimator
+    return F.pmod(key.cast("long") * F.lit(2654435761), F.lit(_H))
 
 
 def kmv_sketch(df: DataFrame, key: str, group: str, k: int = 64) -> DataFrame:
     """The sketch itself: up to ``k`` rows (group, h, r) of the smallest
     distinct hash values per group, rank-ordered."""
-    hashes = df.select(group, _kmv_hash(F.col(key)).alias("h")).distinct()
+    hashes = (
+        df.where(F.col(key).isNotNull())
+        .select(group, _kmv_hash(F.col(key)).alias("h"))
+        .distinct()
+    )
     w = Window.partitionBy(group).orderBy("h")
     return (
         hashes.withColumn("r", F.row_number().over(w))

@@ -149,11 +149,17 @@ def streaming_dedup(stream: DataFrame, text_col: str = "text",
     distinct document, bounded by the watermark (duplicates arriving later
     than ``watermark`` after the original are treated as new — the standard
     state-retention trade; batch :func:`operators.dedup.dedup_exact` is the
-    exact form for reprocessing)."""
+    exact form for reprocessing).
+
+    ``dropDuplicatesWithinWatermark`` is load-bearing: plain
+    ``dropDuplicates`` on a non-event-time subset never evicts its state
+    (the watermark only bounds state when the event-time column is part of
+    the key), so on a continuous stream it grows one hash per distinct
+    document forever."""
     return (
         stream.withColumn("_text_hash", F.xxhash64(text_col))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["_text_hash"])
+        .dropDuplicatesWithinWatermark(["_text_hash"])
         .drop("_text_hash")
     )
 

@@ -703,3 +703,21 @@ def test_kmv_merge_property(spark):
                  F.countDistinct("user_id").alias("n")).collect()}
     for t, n in exact.items():
         assert abs(est[t] - n) / n < 0.35, (t, est[t], n)
+
+
+def test_ann_degenerate_embeddings(spark):
+    """Empty or NULL embeddings are dropped by the bucketing (the old
+    explode form's behavior), never crash the job or pollute bucket 0."""
+    from osm_cycling_quality_index_spark.operators.ann import (
+        hyperplane_buckets, lsh_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [0.1, 0.2]), (1, [0.3, -0.1]), (2, []), (3, None)],
+        "vec_id long, embedding array<float>")
+    b = hyperplane_buckets(emb)
+    assert {r["vec_id"] for r in b.collect()} == {0, 1}
+    q = spark.createDataFrame(
+        [(0, [0.1, 0.2])], "query_id long, query_emb array<float>")
+    rows = lsh_topk(emb, q, k=5).collect()
+    assert all(r["cos_sim"] is not None for r in rows) and len(rows) >= 1
