@@ -39,12 +39,7 @@ _BUF_L = [None, "0.5", "junk", "1.5"]
 _PATHLIKE = ["cycleway", "footway", "path"]
 
 
-def _pick(key, values):
-    expr = F.lit(None).cast("string")
-    for i, v in enumerate(values):
-        if v is not None:
-            expr = F.when(key % len(values) == i, F.lit(v)).otherwise(expr)
-    return expr
+from .synth_util import pick as _pick, sql_pick as _sql_pick  # noqa: E402 (shared synth/oracle pairing)
 
 
 def _ways_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,14 +133,6 @@ def q_cqi_score_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
-
-def _sql_pick(key: str, values, n=None) -> str:
-    n = n or len(values)
-    arms = " ".join(
-        f"WHEN {key} % {n} = {i} THEN '{v}'" for i, v in enumerate(values) if v is not None
-    )
-    return f"CASE {arms} END"
-
 
 def _case_map(key: str, mapping: dict, default=None) -> str:
     arms = " ".join(f"WHEN {key} = '{k}' THEN {v}" for k, v in mapping.items())

@@ -56,12 +56,7 @@ _SPOT = [
 ]
 
 
-def _pick(key, values):
-    expr = F.lit(None).cast("string")
-    for i, v in enumerate(values):
-        if v is not None:
-            expr = F.when(key % len(values) == i, F.lit(v)).otherwise(expr)
-    return expr
+from .synth_util import pick as _pick, sql_pick as _sql_pick  # noqa: E402
 
 
 def _ways_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,15 +116,6 @@ def q_cqi_score_roads_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
-
-def _sql_pick(key: str, values) -> str:
-    n = len(values)
-    arms = " ".join(
-        f"WHEN {key} % {n} = {i} THEN '{v}'"
-        for i, v in enumerate(values) if v is not None
-    )
-    return f"CASE {arms} END"
-
 
 def _case_map(key: str, mapping: dict, default=None) -> str:
     arms = " ".join(f"WHEN {key} = '{k}' THEN {v}" for k, v in mapping.items())

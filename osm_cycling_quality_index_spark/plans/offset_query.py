@@ -44,12 +44,7 @@ _SPOT = [
 ]
 
 
-def _pick(key, values):
-    expr = F.lit(None).cast("string")
-    for i, v in enumerate(values):
-        if v is not None:
-            expr = F.when(key % len(values) == i, F.lit(v)).otherwise(expr)
-    return expr
+from .synth_util import pick as _pick, sql_pick as _sql_pick_str  # noqa: E402
 
 
 def _ways_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,10 +192,4 @@ UNION ALL {branch("sidewalk", "right", "-", sw_r, off_sw)}
 """
 
 
-def _sql_pick_str(key: str, values) -> str:
-    n = len(values)
-    arms = " ".join(
-        f"WHEN {key} % {n} = {i} THEN '{v}'"
-        for i, v in enumerate(values) if v is not None
-    )
-    return f"CASE {arms} END"
+
