@@ -205,6 +205,16 @@ def q_distinct_sketch(spark, sf_dir):
     return est.join(exact, "event_type")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan for the compute-bound dedup family: the test parquet
+    is single-row-group, so without a round-robin exchange the tokenize /
+    shingle pass runs at parallelism 1 (see plans/cqi_query.py _ways_df for
+    the same trade; on real multi-row-group input AQE coalesces this away)."""
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("text").agg(
@@ -213,15 +223,15 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_jaccard_pairs(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
 def q_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
 def q_simhash(spark, sf_dir):
-    return dedup.simhash(_t(spark, sf_dir, "documents"))
+    return dedup.simhash(_docs(spark, sf_dir))
 
 
 def q_text_stats(spark, sf_dir):

@@ -51,8 +51,7 @@ def tokenize(df: DataFrame, text_col: str = "text", kind: str = "word") -> DataF
     )
 
 
-def word_ids(tokens: DataFrame, mode: str = "dictionary",
-             vocab_partitions: int = 32) -> DataFrame:
+def word_ids(tokens: DataFrame, mode: str = "dictionary") -> DataFrame:
     """Attach an integer id per word (see module docstring).
 
     Dictionary ids are the global 1-based rank of the word — computed
@@ -121,7 +120,9 @@ def ngram_jaccard_pairs(
     so cost is sum over tokens of df(token)^2 — not |docs|^2.  Output:
     (doc_a, doc_b, common, jaccard) with doc_a < doc_b, jaccard >= threshold.
     """
-    toks = tokenize(df, text_col, kind)
+    # tokenize fans out to three consumers (sizes, both join sides); persist
+    # at the boundary so the scan+shingle pass runs once, not per branch
+    toks = tokenize(df, text_col, kind).persist()
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = toks.select(F.col("doc_id").alias("doc_a"), "word")
     b = toks.select(F.col("doc_id").alias("doc_b"), "word")
@@ -177,12 +178,16 @@ def minhash_lsh_pairs(
     Output: (doc_a, doc_b, jaccard).
     """
     rows = n_hashes // bands
-    # tokenize is map-only (no shuffle), so the three consumers (signature
-    # branch, word-id vocabulary, exact-verify sets) recompute it from the
-    # scan rather than pinning 10^2x the corpus in cache — rescanning is the
-    # cheap side of that trade at every scale
-    toks = tokenize(df, text_col, "shingle")
-    sig = minhash_signatures(df, n_hashes, text_col, mode, tokens=toks)
+    # tokenize fans out to >=3 consumers (word-id vocabulary, the word-id
+    # join input, the exact-verify shingle sets); persist at the boundary.
+    # An earlier round dropped this persist on the theory that a map-only
+    # stage is cheap to recompute — but recompute cost multiplies by
+    # consumer count, and on single-row-group input the shingling pass runs
+    # at parallelism 1, so the recompute was the plan's scale-killer (the
+    # r2 bench paid ~4x for it).  Fan-out boundaries get persisted; that is
+    # the repo rule (operators/sidepath.py follows it for the same reason).
+    toks = tokenize(df, text_col, "shingle").persist()
+    sig = minhash_signatures(df, n_hashes, text_col, mode, tokens=toks).persist()
     banded = sig.select(
         "doc_id",
         F.posexplode(
@@ -221,7 +226,9 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text",
             mode: str = "dictionary") -> DataFrame:
     """SimHash per doc: bit_j = majority over words of bit_j(word_hash),
     word_hash = (word_id * 2654435761) mod 2^31.  Output: (doc_id, simhash)."""
-    toks = word_ids(tokenize(df, text_col), mode)
+    # persist the token stream: word_ids consumes it twice (vocabulary
+    # distinct + the id-attach join input)
+    toks = word_ids(tokenize(df, text_col).persist(), mode)
     h = (F.col("word_id") * F.lit(2654435761)) % F.lit(2147483648)
     cols = [
         F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
@@ -241,7 +248,8 @@ def simhash_near_pairs(df: DataFrame, bits: int = 32, max_hamming: int = 3,
     max_hamming+1 blocks is identical).  Output: (doc_a, doc_b, hamming)."""
     n_blocks = max_hamming + 1
     block_bits = bits // n_blocks
-    sh = simhash(df, bits, text_col, mode)
+    # the signature frame feeds both sides of the block self-join
+    sh = simhash(df, bits, text_col, mode).persist()
     blocks = sh.select(
         "doc_id", "simhash",
         F.posexplode(

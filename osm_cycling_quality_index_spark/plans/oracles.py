@@ -92,10 +92,15 @@ FROM g GROUP BY user_id
 
 EVENTS_JSON = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """
+# ^ the outer CAST matters: DuckDB types SUM(BIGINT) as HUGEINT (int128),
+# which pandas fetchdf materializes as float64 — the driver then hashes
+# "99111.0" against Spark's int64 "99111" and reports a value mismatch on
+# identical numbers.  Every oracle whose OUTPUT column sums an integer must
+# cast the sum back to BIGINT (DOUBLE-summing oracles are unaffected).
 
 EVENTS_ASOF = """
 WITH l AS (

@@ -370,7 +370,7 @@ def test_word_ids_rank(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     toks = tokenize(docs, "text", "word")
-    got = word_ids(toks, mode="dictionary", vocab_partitions=7)
+    got = word_ids(toks, mode="dictionary")
     vocab = sorted(r["word"] for r in toks.select("word").distinct().collect())
     want = {w: i + 1 for i, w in enumerate(vocab)}
     for r in got.select("word", "word_id").distinct().collect():

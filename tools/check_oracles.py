@@ -16,16 +16,25 @@ import duckdb
 
 
 def normalize(df, cols):
-    """Rows as sorted list of tuples with stable float formatting."""
+    """Rows as sorted list of tuples with stable, TYPE-TAGGED formatting.
+
+    The driver hashes value representations, so an int64 99111 on the Spark
+    side and a float64 99111.0 on the oracle side (DuckDB HUGEINT sums come
+    back from fetchdf as float) are a real mismatch even though ``%.9g``
+    prints both as "99111".  Tagging the numeric kind reproduces the
+    driver's strictness — the exact class of drift the untagged replay let
+    ship in round 2 (events_json)."""
     def fmt(v):
         if v is None:
             return "@null"
-        if isinstance(v, float):
+        if isinstance(v, bool):  # before float/int: bool subclasses int
+            return f"i:{int(v)}"
+        if isinstance(v, float):  # covers numpy float64 (subclasses float)
             if math.isnan(v):
                 return "@nan"
-            return f"{v:.9g}"
-        if isinstance(v, bool):
-            return str(int(v))
+            return f"f:{v:.9g}"
+        if isinstance(v, int) or type(v).__name__.startswith(("int", "uint")):
+            return f"i:{v}"
         return str(v)
 
     return sorted(tuple(fmt(r[c]) for c in cols) for r in df)
