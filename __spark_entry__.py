@@ -268,6 +268,17 @@ def q_embedding_near_dups(spark, sf_dir):
     return dedup.embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Pair->cluster resolution (operators/dedup.dedup_groups): near-dup
+    pairs at cosine>=0.3 resolved into connected components with one keeper
+    per group; singletons keep themselves.  0.3 gives multi-hop transitive
+    chains in the synthetic embeddings (components up to size 6), so the
+    label-propagation loop genuinely iterates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dups(emb, threshold=0.3)
+    return dedup.dedup_groups(emb, pairs, id_col="vec_id", a="vec_a", b="vec_b")
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF-flat approximate top-k (inverted-file scale path); deterministic
     seed centroids keep it exactly SQL-mirrorable."""
@@ -316,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_buckets": q_ann_buckets,
         "embedding_near_dups": q_embedding_near_dups,
+        "dedup_groups": q_dedup_groups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
     }
@@ -347,6 +359,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": O.embedding_topk_sql(),
         "ann_buckets": O.ann_buckets_sql(),
         "embedding_near_dups": O.embedding_near_dups_sql(threshold=0.35),
+        "dedup_groups": O.dedup_groups_sql(threshold=0.3),
         # the LSH approximation is deterministic (fixed hyperplanes), so it
         # mirrors exactly; recall vs brute force is gated in pytest
         "ann_lsh_topk": O.ann_lsh_topk_sql(),

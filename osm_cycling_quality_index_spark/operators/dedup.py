@@ -276,6 +276,103 @@ def simhash_near_pairs(df: DataFrame, bits: int = 32, max_hamming: int = 3,
     )
 
 
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    hash-min label propagation: every node starts labelled with its own id,
+    and each round replaces the label with the minimum over itself and its
+    neighbours.  The minimum id of a component spreads one hop per round
+    (BFS), so the loop converges in O(component diameter) rounds — near-dup
+    clusters are shallow (stars/cliques around a template), so 2-4 rounds in
+    practice.  All per-round work is equi-joins + a min-aggregate on the
+    node id: no driver-side union-find, no cartesian anything, AQE handles
+    hub-node skew.  Each round persists its label frame and drops the
+    previous one, so lineage stays one round deep.  Output:
+    ``(node, component)`` for every node that appears in an edge.
+
+    (For adversarially deep graphs — million-hop paths — the large-star /
+    small-star alternation of Kiveris et al. halves round count; near-dup
+    graphs never need it, so we keep the simply-auditable form.)
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr_min = sym.join(
+            labels, sym["b"] == labels["node"]
+        ).select(F.col("a").alias("node"), "component")
+        new = (
+            labels.select("node", "component")
+            .union(nbr_min)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        # labels only ever decrease, so "any row changed" == not converged;
+        # limit(1) stops the scan at the first witness
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_groups(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    a: str = "doc_a", b: str = "doc_b", max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into dedup GROUPS with one keeper per group —
+    the step every production dedup pipeline needs after LSH: transitive
+    chains (A~B, B~C with A,C never compared) must collapse to ONE cluster.
+
+    ``df`` is the full corpus (so singletons keep themselves), ``pairs`` any
+    near-dup pair frame (minhash_lsh_pairs / simhash_near_pairs /
+    embedding_near_dups output).  group_id is the minimum member id (stable
+    and order-free); the keeper is the group_id row itself.  Output:
+    ``(id_col, group_id, n_members, is_keeper)``, one row per corpus row.
+    """
+    cc = connected_components(pairs, a, b, max_iter)
+    labelled = (
+        df.select(F.col(id_col).alias("node"))
+        .join(cc, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", F.col("node")).alias("group_id"),
+        )
+    )
+    sizes = labelled.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        labelled.join(sizes, "group_id")
+        .select(
+            id_col,
+            "group_id",
+            "n_members",
+            (F.col(id_col) == F.col("group_id")).cast("int").alias("is_keeper"),
+        )
+    )
+
+
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicates over (vec_id, embedding array<float>).
 

@@ -559,3 +559,29 @@ JOIN norms na ON na.vec_id = vec_a
 JOIN norms nb ON nb.vec_id = vec_b
 WHERE dp / (na.nrm * nb.nrm) >= {threshold}
 """
+
+
+def dedup_groups_sql(threshold: float = 0.3, n_planes: int = 8) -> str:
+    """Mirror of operators/dedup.dedup_groups over embedding_near_dups
+    pairs: transitive closure by a recursive CTE (min reachable id per
+    node == the hash-min fixpoint the Spark loop converges to)."""
+    pairs = embedding_near_dups_sql(threshold, n_planes)
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs}),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+walk(node, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+),
+lab AS (SELECT node AS vec_id, MIN(lbl) AS group_id FROM walk GROUP BY node)
+SELECT vec_id, group_id,
+       CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS n_members,
+       CAST(vec_id = group_id AS INT) AS is_keeper
+FROM lab
+"""

@@ -721,3 +721,41 @@ def test_ann_degenerate_embeddings(spark):
         [(0, [0.1, 0.2])], "query_id long, query_emb array<float>")
     rows = lsh_topk(emb, q, k=5).collect()
     assert all(r["cos_sim"] is not None for r in rows) and len(rows) >= 1
+
+
+# ---------------------------------------------------------------------------
+# dedup groups: pairs -> connected components -> one keeper per cluster
+# ---------------------------------------------------------------------------
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C (A,C never compared) must land in ONE component; a 6-node
+    path forces the hash-min label to propagate over multiple rounds."""
+    from osm_cycling_quality_index_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        # component 1: path 10-11-12-13-14-15 (diameter 5 -> >1 round)
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+         # component 2: triangle with a duplicate + reversed edge
+         (20, 21), (21, 22), (22, 20), (21, 20)],
+        "src long, dst long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_groups_keeper_and_singletons(spark):
+    from osm_cycling_quality_index_spark.operators.dedup import dedup_groups
+
+    corpus = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 4), (4, 6), (2, 3)], "doc_a long, doc_b long")
+    rows = {r["doc_id"]: r for r in dedup_groups(corpus, pairs).collect()}
+    assert {d: r["group_id"] for d, r in rows.items()} == {
+        1: 1, 4: 1, 6: 1, 2: 2, 3: 2, 5: 5, 7: 7}
+    assert {d: r["n_members"] for d, r in rows.items()} == {
+        1: 3, 4: 3, 6: 3, 2: 2, 3: 2, 5: 1, 7: 1}
+    assert [d for d, r in sorted(rows.items()) if r["is_keeper"]] == [1, 2, 5, 7]
