@@ -57,18 +57,27 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
             _F.pandas_udf(lambda s: s, "long")(_F.col("id"))
         )
     )
-    timings = {}
+    timings, passes, loads = {}, {}, {}
     for name in HEADLINE:
-        t0 = time.time()
-        _materialize(queries[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 2)
-        # queries persist fan-out frames internally; drop them so later
-        # queries aren't squeezed by accumulated storage memory (observed:
-        # 3-30x swings on the dedup query depending on what ran before it)
+        # min of 2 passes per query: this shared box's external tenants swing
+        # wall times up to ~10x, and a single sample let round-2 tenant noise
+        # masquerade as a regression (geo_sidepath_vote 19.2 s driver-run vs
+        # 12.8 s isolated).  Caches are cleared between passes, so the min is
+        # steady-state plan time (warm JIT), never a data-cache hit.
+        per = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            _materialize(queries[name](spark, sf_dir))
+            per.append(round(time.time() - t0, 2))
+        # per-query external load: lets a reader attribute an outlier pass
+        # to tenant contention instead of the plan
+        with open("/proc/loadavg") as fh:
+            loads[name] = fh.read().split()[0]
+        passes[name] = per
+        timings[name] = min(per)
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 2)
-    # external tenant load on this shared box swings wall times up to ~10x;
-    # record it so a reader can spot contaminated runs
     with open("/proc/loadavg") as fh:
         load_after = fh.read().split()[:3]
     return {
@@ -76,6 +85,8 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_passes": passes,
+        "ext_loadavg": loads,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": cpus,
         "ext_loadavg_after": load_after,
@@ -233,8 +244,31 @@ def run_scaling(n_roads: int, n_points: int, n_cores: int = 1,
         "extra": [results[c] for c in extra_cores if c in results],
         "scaling_efficiency": round(eff, 3),
     }
+    # the criterion-at-higher-N numbers are reported alongside the claimed
+    # pass, not buried in raw rows: compute every 4x pair present in extras
+    for lo, hi in [(8, 32)]:
+        if lo in results and hi in results:
+            report[f"scaling_efficiency_{lo}_{hi}"] = round(
+                (results[hi]["rows_per_sec"] / results[lo]["rows_per_sec"]) / 4, 3
+            )
     _write_baseline_md(report, n_roads, n_points)
     return report
+
+
+def _eff_8_32_line(report: dict) -> str:
+    eff = report.get("scaling_efficiency_8_32")
+    if eff is None:
+        return ""
+    return (
+        f"\nFor full disclosure at the higher-parallelism points: the same "
+        f"pair computed at 8 vs 32 cores gives **{eff}** — below the "
+        f"criterion, and expected from the DRAM-bandwidth ceiling described "
+        f"in the method note (the whole-box memory system is shared across "
+        f"all N local threads, unlike a real cluster where each executor "
+        f"brings its own).  The N/4N pass above is claimed only for the "
+        f"compute-scaled window; this number is what the same box does when "
+        f"the memory system, not compute, is the scaled-out resource.\n"
+    )
 
 
 def _write_baseline_md(report: dict, n_roads: int, n_points: int) -> None:
@@ -264,7 +298,7 @@ tenant load is recorded as `ext_loadavg` per run).
 **Scaling efficiency (throughput_{r4['cores']} / throughput_{rn['cores']}) / 4
 = {report['scaling_efficiency']}** (criterion: >= 0.8 between N and 4N
 parallelism).
-
+{_eff_8_32_line(report)}
 Method note: N={rn['cores']} vs 4N={r4['cores']} executors (1 core each) is
 the window where compute, not this VM's memory system, is the scaled
 resource.  Measured hardware ceiling: a bare numpy multiply+sum over a
