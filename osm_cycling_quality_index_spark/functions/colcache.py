@@ -10,6 +10,7 @@ hashable literal values are cached; anything else falls through to
 
 from __future__ import annotations
 
+import struct
 from functools import lru_cache
 
 from pyspark.sql import Column
@@ -22,12 +23,19 @@ def ccol(name: str) -> Column:
 
 
 @lru_cache(maxsize=8192)
-def _clit_cached(type_name: str, value) -> Column:
+def _clit_cached(key, value) -> Column:
     return F.lit(value)
 
 
 def clit(value) -> Column:
-    try:
-        return _clit_cached(type(value).__name__, value)
-    except TypeError:  # unhashable — build uncached
-        return F.lit(value)
+    # Only scalar leaves are cached.  The cache key must distinguish every
+    # value Spark would render differently: 0.0 vs -0.0 are == and hash the
+    # same but differ by an IEEE sign bit, so floats key on their raw bit
+    # pattern; containers like (1,) vs (True,) collide under == the same
+    # way, so they (and any other type) fall through uncached.
+    t = type(value)
+    if t is float:
+        return _clit_cached(("f", struct.pack(">d", value)), value)
+    if t in (str, int, bool) or value is None:
+        return _clit_cached((t.__name__, value), value)
+    return F.lit(value)

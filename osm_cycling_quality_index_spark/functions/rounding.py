@@ -64,8 +64,20 @@ def force_double(sql: str) -> str:
     while i < n:
         ch = sql[i]
         if ch in ("'", '"'):
-            j = sql.find(ch, i + 1)
-            j = n - 1 if j == -1 else j
+            # SQL escapes a quote inside a quoted segment by doubling it
+            # ('' / ""): a doubled closing quote continues the segment, so
+            # the scanner must skip past it or it desynchronizes and starts
+            # rewriting literals inside strings
+            j = i
+            while True:
+                j = sql.find(ch, j + 1)
+                if j == -1:
+                    j = n - 1
+                    break
+                if j + 1 < n and sql[j + 1] == ch:
+                    j += 1  # escaped quote — still inside the segment
+                    continue
+                break
             out.append(sql[i:j + 1])
             i = j + 1
         else:
