@@ -15,6 +15,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from osm_cycling_quality_index_spark.functions import text as T
+from osm_cycling_quality_index_spark.functions.bpe import (
+    bpe_query_sql as _bpe_query_sql,
+)
 from osm_cycling_quality_index_spark.operators import ann, dedup
 from osm_cycling_quality_index_spark.plans import oracles as O
 from osm_cycling_quality_index_spark.plans import geo_queries as G
@@ -235,7 +238,17 @@ def q_simhash(spark, sf_dir):
 
 
 def q_text_stats(spark, sf_dir):
-    return T.text_stats(_t(spark, sf_dir, "documents"))
+    return T.text_stats(_docs(spark, sf_dir))
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """Real BPE subword counts over the committed merges table
+    (functions/bpe.py): the pure-column replace-chain encoder, mirrored
+    rule-for-rule in DuckDB; the Arrow-batched twin is pytest-gated equal."""
+    from osm_cycling_quality_index_spark.functions.bpe import bpe_token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
 
 
 def q_fingerprint(spark, sf_dir):
@@ -323,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash": q_simhash,
         "text_stats": q_text_stats,
+        "bpe_token_counts": q_bpe_tokens,
         "doc_fingerprint": q_fingerprint,
         "embedding_topk": q_embedding_topk,
         "ann_buckets": q_ann_buckets,
@@ -355,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": O.minhash_lsh_sql(),
         "simhash": O.simhash_sql(),
         "text_stats": O.text_stats_sql(),
+        "bpe_token_counts": _bpe_query_sql(),
         "doc_fingerprint": O.FINGERPRINT,
         "embedding_topk": O.embedding_topk_sql(),
         "ann_buckets": O.ann_buckets_sql(),

@@ -1,0 +1,141 @@
+"""Real BPE subword tokenization over the committed merges table
+(functions/bpe_merges.py, learned once by tools/learn_bpe.py).
+
+Replaces the <=4-char-piece regex proxy for token-count-based filtering /
+budgeting (the reference pipeline has no tokenizer; this belongs to the
+training-data component set).
+
+Two implementations with identical results:
+
+* :func:`bpe_token_count` — pure Column arithmetic, exactly mirrored in
+  DuckDB by :func:`bpe_count_sql`.  The text is exploded to a
+  space-delimited symbol string (word boundaries become a ``|`` symbol that
+  participates in no merge), then each merge rule is applied IN RANK ORDER
+  as a literal ``replace(' a b ', ' ab ')``, repeated ``_REPEAT`` times so
+  runs of the same pair merge exhaustively.  Sequential exhaustive
+  application in rank order is exactly BPE encoding: a merge at rank r can
+  only create pairs involving its output symbol, and every rule consuming
+  that symbol was learned later, so no earlier rule ever becomes applicable
+  again.  (A rank-r pair repeated > 2^_REPEAT times consecutively could
+  under-merge; the committed table and corpus are pytest-checked against
+  the reference encoder, which has no such bound.)
+* :func:`bpe_token_count_fast` — Arrow-batched pandas UDF running the
+  classic per-word greedy encoder with a word->count memo (words repeat
+  heavily, so the memo hit rate is ~100%); the production path when the
+  chain of 3x64 JVM replaces is not wanted.  Bit-equality with the column
+  path is pytest-gated on the corpus.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .bpe_merges import MERGES
+
+#: times each rule's non-overlapping replace is repeated (handles runs of
+#: the same pair up to 2^_REPEAT symbols — corpus maximum is 2)
+_REPEAT = 3
+
+_WORD_MARK = "|"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Number of BPE subword tokens in ``text`` (whole document), as a pure
+    JVM-side expression chain — no UDF."""
+    s = F.replace(F.lower(text), F.lit(" "), F.lit(_WORD_MARK))
+    s = F.concat(F.lit(" "), F.regexp_replace(s, "(.)", "$1 "))
+    for a, b in MERGES:
+        for _ in range(_REPEAT):
+            s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    # tokens = pieces - word_marks; with s = " p1 p2 ... pn " the length
+    # terms cancel to: len(s without marks) - len(s without spaces) - 1
+    # (two uses of the chain instead of four)
+    return (
+        F.length(F.replace(s, F.lit(_WORD_MARK), F.lit("")))
+        - F.length(F.replace(s, F.lit(" "), F.lit("")))
+        - 1
+    ).cast("int")
+
+
+def bpe_query_sql(table: str = "documents", id_col: str = "doc_id",
+                  expr: str = "text") -> str:
+    """DuckDB mirror of :func:`bpe_token_count` — the same replace chain,
+    same rule order, same repeat count, so equality is by construction.
+
+    Returns a full ``SELECT {id_col}, n_bpe_tokens`` query: DuckDB binds
+    expressions with a recursion limit of 128, so the 3x64 replace chain is
+    chunked across nested subqueries (~24 replaces deep each) instead of
+    one nested scalar expression."""
+    steps = [(f" {a} {b} ", f" {a}{b} ") for a, b in MERGES
+             for _ in range(_REPEAT)]
+    sql = (
+        f"SELECT {id_col}, ' ' || regexp_replace(replace(lower({expr}), "
+        f"' ', '{_WORD_MARK}'), '(.)', '\\1 ', 'g') AS s FROM {table}"
+    )
+    for i in range(0, len(steps), 24):
+        s = "s"
+        for pat, rep in steps[i:i + 24]:
+            s = f"replace({s}, '{pat}', '{rep}')"
+        sql = f"SELECT {id_col}, {s} AS s FROM ({sql})"
+    return (
+        f"SELECT {id_col}, CAST(length(replace(s, '{_WORD_MARK}', '')) "
+        f"- length(replace(s, ' ', '')) - 1 AS INT) AS n_bpe_tokens "
+        f"FROM ({sql})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# reference encoder + vectorized twin
+# ---------------------------------------------------------------------------
+
+_RANK = {pair: i for i, pair in enumerate(MERGES)}
+
+
+def bpe_encode_word(word: str) -> list[str]:
+    """Classic greedy encoder: repeatedly merge the lowest-rank adjacent
+    pair until none applies."""
+    sym = list(word)
+    while len(sym) > 1:
+        best, best_rank = None, None
+        for i in range(len(sym) - 1):
+            r = _RANK.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            break
+        a, b = MERGES[best_rank]
+        out, i = [], 0
+        while i < len(sym):  # merge ALL occurrences of the chosen pair
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def _count_doc(text: str, memo: dict) -> int:
+    n = 0
+    for w in text.lower().split():
+        c = memo.get(w)
+        if c is None:
+            c = memo[w] = len(bpe_encode_word(w))
+        n += c
+    return n
+
+
+def bpe_token_count_fast(text: Column) -> Column:
+    """Arrow-batched twin of :func:`bpe_token_count` (see module doc).
+
+    The UDF is built lazily — ``pandas_udf`` resolves its return type
+    against the active session, so a module-level decorator would make the
+    import order matter."""
+    def _count(texts: pd.Series) -> pd.Series:
+        memo: dict = {}
+        return texts.map(lambda t: _count_doc(t, memo)).astype("int32")
+
+    return F.pandas_udf(_count, "int")(text)

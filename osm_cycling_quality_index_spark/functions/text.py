@@ -35,11 +35,13 @@ def token_count(text: Column) -> Column:
 
 
 def subword_token_count(text: Column) -> Column:
-    """BPE-ish token-count proxy: greedy <=4-char alphanumeric pieces plus
-    one token per non-space symbol — the cheap regex stand-in for a real
-    BPE vocabulary (both engines' regex semantics agree on this pattern:
-    leftmost match, greedy quantifier, no lookaround)."""
-    return F.regexp_count(text, F.lit(r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"))
+    """Real BPE subword token count over the committed merges table —
+    delegates to :func:`..functions.bpe.bpe_token_count` (which replaced
+    the earlier <=4-char-piece regex proxy; see functions/bpe.py for the
+    encoder, its SQL mirror, and the Arrow-batched production twin)."""
+    from .bpe import bpe_token_count
+
+    return bpe_token_count(text)
 
 
 def occurrences(text: Column, needle: str) -> Column:

@@ -318,16 +318,19 @@ def text_stats_sql() -> str:
     tokens = "CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
     punct = f"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length({punct_strip}) AS DOUBLE) / length(text) END"
     any_stop = " + ".join(f"s_{lang}" for lang in langs)
+    from ..functions.bpe import bpe_query_sql
+
     return f"""
 WITH s AS (
   SELECT doc_id, text,
          {", ".join(f"{sql} AS s_{lang}" for lang, sql in scores.items())}
   FROM documents
-)
+),
+bpe AS ({bpe_query_sql()})
 SELECT doc_id,
        length(text) AS n_chars,
        {tokens} AS n_tokens,
-       len(regexp_extract_all(text, '[A-Za-z0-9]{{1,4}}|[^A-Za-z0-9\\s]')) AS n_subwords,
+       bpe.n_bpe_tokens AS n_subwords,
        ROUND({punct}, 6) AS punct_ratio,
        CASE WHEN {best_s} > 0 THEN {best_l} ELSE 'unknown' END AS lang,
        ROUND(
@@ -335,7 +338,7 @@ SELECT doc_id,
                WHEN length(text) > 0 THEN 0.1 ELSE 0.0 END)
          + (CASE WHEN {punct} > 0 AND {punct} < 0.2 THEN 0.3 ELSE 0.0 END)
          + (CASE WHEN ({any_stop}) * 10 >= {tokens} THEN 0.3 ELSE 0.0 END), 1) AS quality
-FROM s
+FROM s JOIN bpe USING (doc_id)
 """
 
 

@@ -759,3 +759,38 @@ def test_dedup_groups_keeper_and_singletons(spark):
     assert {d: r["n_members"] for d, r in rows.items()} == {
         1: 3, 4: 3, 6: 3, 2: 2, 3: 2, 5: 1, 7: 1}
     assert [d for d, r in sorted(rows.items()) if r["is_keeper"]] == [1, 2, 5, 7]
+
+
+# ---------------------------------------------------------------------------
+# real BPE subword counts (committed merges table)
+# ---------------------------------------------------------------------------
+
+def test_bpe_three_way_equality(spark):
+    """Column replace-chain == Arrow-batched twin == classic greedy encoder
+    on the corpus, plus a pathological same-pair run (the replace chain
+    handles runs up to 2^_REPEAT symbols)."""
+    from pyspark.sql import functions as F
+
+    from osm_cycling_quality_index_spark.functions.bpe import (
+        _count_doc, bpe_encode_word, bpe_token_count, bpe_token_count_fast,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    col = {r["doc_id"]: r["n"] for r in
+           d.select("doc_id", bpe_token_count(F.col("text")).alias("n")).collect()}
+    fast = {r["doc_id"]: r["n"] for r in
+            d.select("doc_id", bpe_token_count_fast(F.col("text")).alias("n")).collect()}
+    ref = {r["doc_id"]: _count_doc(r["text"], {})
+           for r in d.select("doc_id", "text").collect()}
+    assert col == fast == ref and len(col) == d.count()
+    # merged pieces exist (i.e. this is not a char counter)
+    assert bpe_encode_word("lower") == ["low", "er"]
+    # run of 8 'e r' pairs + empty text edge
+    edge = spark.createDataFrame(
+        [(0, "erererererererer"), (1, ""), (2, "er")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in
+           edge.select("doc_id", bpe_token_count(F.col("text")).alias("n")).collect()}
+    want = {r["doc_id"]: _count_doc(r["text"], {})
+            for r in edge.select("doc_id", "text").collect()}
+    assert got == want and got[1] == 0
