@@ -27,12 +27,27 @@ class Audit:
         return rec
 
     def stage(self, name: str, df: DataFrame) -> dict:
-        """Materialize ``df`` (count) and record stage metrics."""
+        """Materialize ``df`` and record stage metrics, including the
+        per-partition row distribution (one pass: a partition-id groupBy
+        replaces the plain count) — max/mean partition size is the skew
+        signal that tells an operator to salt or re-bucket BEFORE a
+        straggler kills the job at scale."""
+        from pyspark.sql import functions as F
+
         t0 = time.time()
-        rows = df.count()
+        per_part = df.groupBy(
+            F.spark_partition_id().alias("pid")
+        ).agg(F.count(F.lit(1)).alias("rows")).collect()
         wall = time.time() - t0
-        parts = df.rdd.getNumPartitions()
+        rows = sum(r["rows"] for r in per_part)
+        nonempty = len(per_part)
+        max_rows = max((r["rows"] for r in per_part), default=0)
+        mean_rows = rows / nonempty if nonempty else 0
         return self.record(
-            stage=name, rows=rows, wall_sec=round(wall, 3), partitions=parts,
+            stage=name, rows=rows, wall_sec=round(wall, 3),
+            partitions=df.rdd.getNumPartitions(),
+            nonempty_partitions=nonempty,
+            max_partition_rows=max_rows,
+            partition_skew=round(max_rows / mean_rows, 2) if mean_rows else None,
             rows_per_sec=round(rows / wall, 1) if wall > 0 else None,
         )

@@ -18,12 +18,10 @@ import duckdb
 def normalize(df, cols):
     """Rows as sorted list of tuples with stable, TYPE-TAGGED formatting.
 
-    The driver hashes value representations, so an int64 99111 on the Spark
-    side and a float64 99111.0 on the oracle side (DuckDB HUGEINT sums come
-    back from fetchdf as float) are a real mismatch even though ``%.9g``
-    prints both as "99111".  Tagging the numeric kind reproduces the
-    driver's strictness — the exact class of drift the untagged replay let
-    ship in round 2 (events_json)."""
+    The driver hashes TYPED values, so an int64 and a float64 of equal
+    value are a real mismatch.  Tagging the numeric kind reproduces that
+    strictness — the class of drift the round-2 replay (untyped ``%.9g``)
+    let ship in events_json."""
     def fmt(v):
         if v is None:
             return "@null"
@@ -38,6 +36,29 @@ def normalize(df, cols):
         return str(v)
 
     return sorted(tuple(fmt(r[c]) for c in cols) for r in df)
+
+
+#: Spark dtypes an integer-typed DuckDB column may face without drift
+_INTEGRALS = {"tinyint", "smallint", "int", "bigint"}
+
+
+def type_drift(spark_dtypes: dict, duck_cols, duck_types) -> list[str]:
+    """Columns whose DuckDB type would hash differently from the Spark type
+    even when every value is equal.  DuckDB's Python client keeps HUGEINT /
+    DECIMAL exact (so value comparison via fetchall can't see the drift),
+    but the driver's typed hash does — flag them statically.  NULL-able
+    BIGINT stays BIGINT, so int-vs-int with NULLs is NOT drift."""
+    bad = []
+    for name, dtype in zip(duck_cols, duck_types):
+        d = str(dtype).upper()
+        s = spark_dtypes.get(name, "")
+        if d in ("HUGEINT", "UHUGEINT") and s in _INTEGRALS:
+            bad.append(f"{name}: duckdb {d} vs spark {s} (cast the SUM)")
+        elif d.startswith("DECIMAL") and (s in _INTEGRALS or s == "double"):
+            bad.append(f"{name}: duckdb {d} vs spark {s} (force DOUBLE/BIGINT)")
+        elif d == "DOUBLE" and s in _INTEGRALS or d == "BIGINT" and s == "double":
+            bad.append(f"{name}: duckdb {d} vs spark {s}")
+    return bad
 
 
 def main() -> int:
@@ -74,13 +95,19 @@ def main() -> int:
             print(f"[rows-only] {name}: {len(spark_rows)} rows")
             continue
         try:
-            odf = con.execute(oracles[name]).fetchdf()
+            rel = con.sql(oracles[name])
+            names, types = list(rel.columns), list(rel.types)
+            orows = [dict(zip(names, row)) for row in rel.fetchall()]
         except Exception as exc:  # noqa: BLE001
             print(f"[FAIL] {name}: duckdb error: {exc}")
             failures.append(name)
             continue
-        ocols = sorted(odf.columns)
-        orows = odf.astype(object).where(odf.notna(), None).to_dict("records")
+        ocols = sorted(names)
+        drift = type_drift(dict(sdf.dtypes), names, types)
+        if drift:
+            print(f"[FAIL] {name}: column type drift: {drift}")
+            failures.append(name)
+            continue
         if cols != ocols:
             print(f"[FAIL] {name}: columns {cols} vs {ocols}")
             failures.append(name)
