@@ -7,6 +7,8 @@ Usage: python tools/check_oracles.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 import sys
 
@@ -33,6 +35,17 @@ def normalize(df, cols):
             return f"f:{v:.9g}"
         if isinstance(v, int) or type(v).__name__.startswith(("int", "uint")):
             return f"i:{v}"
+        if isinstance(v, decimal.Decimal):
+            # DECIMAL-vs-double passes the driver (observed r2: text_stats
+            # quality DECIMAL(4,1) green against Spark double) — format
+            # like a float so the value comparison agrees
+            return f"f:{float(v):.9g}"
+        if isinstance(v, datetime.datetime):
+            return str(v)
+        if isinstance(v, datetime.date):
+            # DATE vs midnight TIMESTAMP also passes the driver (observed
+            # r2: events_rollup day green) — canonicalize to timestamp form
+            return f"{v} 00:00:00"
         return str(v)
 
     return sorted(tuple(fmt(r[c]) for c in cols) for r in df)
@@ -54,10 +67,12 @@ def type_drift(spark_dtypes: dict, duck_cols, duck_types) -> list[str]:
         s = spark_dtypes.get(name, "")
         if d in ("HUGEINT", "UHUGEINT") and s in _INTEGRALS:
             bad.append(f"{name}: duckdb {d} vs spark {s} (cast the SUM)")
-        elif d.startswith("DECIMAL") and (s in _INTEGRALS or s == "double"):
-            bad.append(f"{name}: duckdb {d} vs spark {s} (force DOUBLE/BIGINT)")
+        elif d.startswith("DECIMAL") and s in _INTEGRALS:
+            bad.append(f"{name}: duckdb {d} vs spark {s} (force BIGINT)")
         elif d == "DOUBLE" and s in _INTEGRALS or d == "BIGINT" and s == "double":
             bad.append(f"{name}: duckdb {d} vs spark {s}")
+        # DECIMAL vs double is tolerated by the driver (r2 evidence:
+        # text_stats quality) — the value comparison covers it instead
     return bad
 
 
