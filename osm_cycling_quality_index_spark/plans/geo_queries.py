@@ -111,6 +111,23 @@ def q_geo_knn(spark, sf_dir):
     )
 
 
+def q_geo_knn_broadcast(spark, sf_dir):
+    """J4's OTHER physical strategy — the zero-shuffle broadcast CSR-index
+    join — run against the SAME oracle as the cell-bucketed shuffle path
+    (the two are bit-identical by design; this makes the broadcast variant
+    directly oracled instead of only transitively through its pytest
+    parity with the shuffle path)."""
+    from ..operators.images import knn_ways_broadcast
+
+    pts = _points_df(spark, sf_dir)
+    ways = _segments_df(spark, sf_dir).select("id", "geometry")
+    out = knn_ways_broadcast(pts, ways, k=3, res=8, rings=2)
+    return out.select(
+        F.col("image_id").alias("point_id"), "way_id", "rank",
+        F.round("dist_m", 4).alias("dist_r"),
+    )
+
+
 GEO_KNN_SQL = f"""
 WITH {_POINTS_SQL}, {_SEGS_SQL},
 dists AS (
@@ -543,6 +560,7 @@ QUERIES = {
     "cqi_score_roads_full": _roads_query,
     "cqi_offset_split": _offset_query,
     "geo_knn": q_geo_knn,
+    "geo_knn_broadcast": q_geo_knn_broadcast,
     "geo_hex_cells": q_geo_hex_cells,
     "geo_point_tiles": q_geo_point_tiles,
     "geo_pip_tiles": q_geo_pip_tiles,
@@ -556,6 +574,7 @@ ORACLES = {
     "cqi_score_roads_full": _roads_oracle(),
     "cqi_offset_split": _offset_oracle(),
     "geo_knn": GEO_KNN_SQL,
+    "geo_knn_broadcast": GEO_KNN_SQL,
     "geo_hex_cells": GEO_HEX_SQL,
     "geo_point_tiles": GEO_TILES_SQL,
     "geo_pip_tiles": _geo_pip_sql(),
