@@ -208,7 +208,7 @@ def run_scaling_job(cores: int, n_roads: int, n_points: int, cache_dir: str) -> 
 
 
 def run_scaling(n_roads: int, n_points: int, n_cores: int = 1,
-                extra_cores: tuple = (8, 32), repeats: int = 2) -> dict:
+                extra_cores: tuple = (8, 32), repeats: int = 3) -> dict:
     """Same job at N and 4N cores in separate JVMs; efficiency =
     (throughput_4N / throughput_N) / 4.  ``extra_cores`` runs are reported as
     supplementary data points (this box's memory bandwidth + frequency
