@@ -287,9 +287,15 @@ def connected_components(
     clusters are shallow (stars/cliques around a template), so 2-4 rounds in
     practice.  All per-round work is equi-joins + a min-aggregate on the
     node id: no driver-side union-find, no cartesian anything, AQE handles
-    hub-node skew.  Each round persists its label frame and drops the
-    previous one, so lineage stays one round deep.  Output:
-    ``(node, component)`` for every node that appears in an edge.
+    hub-node skew.  Each round materializes its label frame with
+    ``localCheckpoint`` — persist alone is NOT enough for an iterative
+    algorithm: the logical plan of round n+1 embeds TWO copies of round
+    n's plan (the union branch and the join branch), so without lineage
+    truncation Catalyst analysis cost doubles per round and a
+    diameter-10 graph hangs the driver before any execution.  (On a
+    cluster where executor loss must be survivable, swap
+    ``localCheckpoint`` for a reliable ``checkpoint`` dir — same shape.)
+    Output: ``(node, component)`` for every node that appears in an edge.
 
     (For adversarially deep graphs — million-hop paths — the large-star /
     small-star alternation of Kiveris et al. halves round count; near-dup
@@ -306,7 +312,7 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr_min = sym.join(
@@ -317,7 +323,7 @@ def connected_components(
             .union(nbr_min)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .persist()
+            .localCheckpoint()  # materialize AND truncate lineage
         )
         # labels only ever decrease, so "any row changed" == not converged;
         # limit(1) stops the scan at the first witness
@@ -328,7 +334,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new
         if changed == 0:
             break
