@@ -794,3 +794,48 @@ def test_bpe_three_way_equality(spark):
     want = {r["doc_id"]: _count_doc(r["text"], {})
             for r in edge.select("doc_id", "text").collect()}
     assert got == want and got[1] == 0
+
+
+def test_connected_components_random_graph(spark):
+    """Property: Spark hash-min label propagation == reference union-find
+    on a deterministic pseudo-random graph (~300 nodes, long paths mixed
+    with cliques, several isolated pairs) that needs multiple rounds."""
+    from osm_cycling_quality_index_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = []
+    # long path 0..59 (diameter 59 stresses round count via doubling)
+    edges += [(i, i + 1) for i in range(59)]
+    # cliques of 6 at 100.., 200..
+    for base in (100, 200):
+        edges += [(base + i, base + j) for i in range(6) for j in range(i + 1, 6)]
+    # pseudo-random sparse edges over 300..399 (deterministic LCG)
+    x = 7
+    for _ in range(60):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        a = 300 + (x % 100)
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        b = 300 + (x % 100)
+        if a != b:
+            edges.append((a, b))
+
+    parent = {}
+    def find(v):
+        while parent.setdefault(v, v) != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    # reference label: min node id per component
+    comp_min = {}
+    for v in list(parent):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {v: comp_min[find(v)] for v in parent}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df, max_iter=64).collect()}
+    assert got == want
