@@ -301,9 +301,19 @@ def connected_components(
     small-star alternation of Kiveris et al. halves round count; near-dup
     graphs never need it, so we keep the simply-auditable form.)
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # symmetrize map-side (explode both directions from one row) so the
+    # upstream pair pipeline — often an expensive LSH join — is scanned
+    # once, not once per union branch
     sym = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .where(F.col("a") != F.col("b"))
         .distinct()
         .persist()
