@@ -839,3 +839,15 @@ def test_connected_components_random_graph(spark):
     got = {r["node"]: r["component"]
            for r in connected_components(df, max_iter=64).collect()}
     assert got == want
+
+
+def test_dedup_groups_no_pairs(spark):
+    """Empty near-dup pair list: every corpus row is its own keeper."""
+    from osm_cycling_quality_index_spark.operators.dedup import dedup_groups
+
+    corpus = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    rows = dedup_groups(corpus, pairs).collect()
+    assert len(rows) == 5
+    assert all(r["group_id"] == r["doc_id"] and r["n_members"] == 1
+               and r["is_keeper"] == 1 for r in rows)
