@@ -851,3 +851,30 @@ def test_dedup_groups_no_pairs(spark):
     assert len(rows) == 5
     assert all(r["group_id"] == r["doc_id"] and r["n_members"] == 1
                and r["is_keeper"] == 1 for r in rows)
+
+
+def test_no_cartesian_in_any_driver_query(spark):
+    """Plan-shape regression guard: no driver query may compile to a
+    CartesianProduct or BroadcastNestedLoopJoin — every candidate join in
+    the engine is an equi-join by design (cell buckets, LSH bands, bins).
+    Allowed exceptions are the queries whose crossJoin is explicit and
+    broadcast-bounded by design: semi_anti_counts (1x1 cross of two
+    single-row aggregates), embedding_topk (the brute-force exact
+    baseline IS all-pairs — corpus x broadcast query frame), and
+    ivf_topk (corpus x broadcast KB-sized centroid table for inverted
+    list assignment)."""
+    import __spark_entry__ as E
+
+    allowed = {"semi_anti_counts", "embedding_topk", "ivf_topk"}
+    sf = SF
+    bad = {}
+    for name, fn in E.queries().items():
+        if name in allowed:
+            continue
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        hits = [op for op in ("CartesianProduct", "BroadcastNestedLoopJoin")
+                if op in plan]
+        if hits:
+            bad[name] = hits
+        spark.catalog.clearCache()
+    assert not bad, bad
