@@ -292,6 +292,16 @@ def q_dedup_groups(spark, sf_dir):
     return dedup.dedup_groups(emb, pairs, id_col="vec_id", a="vec_a", b="vec_b")
 
 
+def q_dedup_groups_text(spark, sf_dir):
+    """Group resolution composed with the TEXT pair source: minhash-LSH
+    near-dup pairs on documents -> connected components -> one keeper per
+    cluster (same resolver as the embedding variant, different pair
+    pipeline feeding it)."""
+    d = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(d)
+    return dedup.dedup_groups(d, pairs, id_col="doc_id", a="doc_a", b="doc_b")
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF-flat approximate top-k (inverted-file scale path); deterministic
     seed centroids keep it exactly SQL-mirrorable."""
@@ -342,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_buckets": q_ann_buckets,
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_groups": q_dedup_groups,
+        "dedup_groups_text": q_dedup_groups_text,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
     }
@@ -375,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_buckets": O.ann_buckets_sql(),
         "embedding_near_dups": O.embedding_near_dups_sql(threshold=0.35),
         "dedup_groups": O.dedup_groups_sql(threshold=0.3),
+        "dedup_groups_text": O.dedup_groups_text_sql(),
         # the LSH approximation is deterministic (fixed hyperplanes), so it
         # mirrors exactly; recall vs brute force is gated in pytest
         "ann_lsh_topk": O.ann_lsh_topk_sql(),

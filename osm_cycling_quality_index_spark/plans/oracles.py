@@ -564,6 +564,31 @@ WHERE dp / (na.nrm * nb.nrm) >= {threshold}
 """
 
 
+def dedup_groups_text_sql(threshold: float = 0.5) -> str:
+    """Mirror of dedup_groups over MINHASH-LSH pairs on the documents
+    table — same recursive-CTE closure as the embedding variant, proving
+    the group resolver composes across pair sources."""
+    return f"""
+WITH RECURSIVE
+pairs AS ({minhash_lsh_sql(threshold=threshold)}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+),
+lab AS (SELECT node AS doc_id, MIN(lbl) AS group_id FROM walk GROUP BY node)
+SELECT doc_id, group_id,
+       CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS n_members,
+       CAST(doc_id = group_id AS INT) AS is_keeper
+FROM lab
+"""
+
+
 def dedup_groups_sql(threshold: float = 0.3, n_planes: int = 8) -> str:
     """Mirror of operators/dedup.dedup_groups over embedding_near_dups
     pairs: transitive closure by a recursive CTE (min reachable id per
