@@ -255,6 +255,28 @@ def q_fingerprint(spark, sf_dir):
     return T.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher/C4-style repetition quality features per doc
+    (operators/quality.repetition_stats)."""
+    from osm_cycling_quality_index_spark.operators.quality import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/quality.decontaminate):
+    5-gram overlap against a deterministic benchmark subset
+    (doc_id % 97 == 0) flags leaked evaluation passages; corpus side is
+    linear, benchmark shingle set broadcast."""
+    from osm_cycling_quality_index_spark.operators.quality import decontaminate
+
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(d, bench, n=5)
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search + near-dup
 # ---------------------------------------------------------------------------
@@ -348,6 +370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "bpe_token_counts": q_bpe_tokens,
         "doc_fingerprint": q_fingerprint,
+        "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
         "embedding_topk": q_embedding_topk,
         "ann_buckets": q_ann_buckets,
         "embedding_near_dups": q_embedding_near_dups,
@@ -382,6 +406,8 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": O.text_stats_sql(),
         "bpe_token_counts": _bpe_query_sql(),
         "doc_fingerprint": O.FINGERPRINT,
+        "repetition_stats": O.REPETITION_STATS,
+        "decontaminate": O.decontaminate_sql(),
         "embedding_topk": O.embedding_topk_sql(),
         "ann_buckets": O.ann_buckets_sql(),
         "embedding_near_dups": O.embedding_near_dups_sql(threshold=0.35),

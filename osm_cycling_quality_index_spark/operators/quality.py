@@ -1,0 +1,119 @@
+"""Corpus-quality operators for training-data pipelines: repetition
+statistics (the Gopher/C4-style duplicate-word and top-bigram fractions
+used as pretraining quality filters) and benchmark decontamination
+(n-gram-overlap flagging of corpus documents that leak evaluation data).
+
+Both are pure DataFrame compositions with exact DuckDB mirrors
+(plans/oracles.py REPETITION_STATS / decontaminate_sql): list math and
+equi-joins only — the benchmark side of the decontamination join is
+broadcast (an evaluation suite is always dimension-sized next to a
+pretraining corpus), and the corpus side carries (doc_id, shingle) pairs,
+never payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(text_col: str):
+    ws = F.split(F.lower(F.col(text_col)), " ")
+    return F.filter(ws, lambda w: w != "")
+
+
+def _shingles(ws, n: int):
+    """Array of n-word shingles of a word array (empty below n words)."""
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, (i + k + 1).cast("int"))
+                       for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc repetition features: (doc_id, n_words, dup_word_frac,
+    top_bigram_frac).
+
+    ``dup_word_frac`` = 1 - distinct_words/words (0 for empty docs);
+    ``top_bigram_frac`` = occurrences of the most frequent bigram divided
+    by total bigrams (0 below two words).  High values of either are the
+    classic repetition-quality rejection signals for pretraining data.
+    """
+    ws = _words(text_col)
+    n = F.size(ws)
+    dup = F.when(
+        n > 0,
+        F.round(1 - F.size(F.array_distinct(ws)) / n, 6),
+    ).otherwise(F.lit(0.0))
+    base = df.select(
+        "doc_id", ws.alias("ws"), n.alias("n_words"), dup.alias("dup_word_frac")
+    ).persist()  # feeds the output join AND the bigram branch
+    bigrams = (
+        base.where(F.col("n_words") >= 2)
+        .select(
+            "doc_id",
+            F.explode(_shingles(F.col("ws"), 2)).alias("bg"),
+        )
+    )
+    per = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+    )
+    return (
+        base.select("doc_id", "n_words", "dup_word_frac")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id", "n_words", "dup_word_frac",
+            F.coalesce(
+                F.round(F.col("mx") / F.col("tot"), 6), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame, benchmark: DataFrame, n: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag corpus docs sharing any n-word shingle with a benchmark table:
+    (doc_id, n_hits, contaminated) — one row per corpus doc, ``n_hits`` =
+    number of its distinct shingles that appear anywhere in the benchmark.
+
+    The benchmark's distinct shingle set is broadcast; the corpus explodes
+    to (doc_id, shingle) and equi-joins — cost is linear in corpus
+    shingles, never corpus x benchmark.
+    """
+    c_sh = corpus.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_shingles(_words(text_col), n))
+        ).alias("s"),
+    )
+    b_sh = benchmark.select(
+        F.explode(
+            F.array_distinct(_shingles(_words(text_col), n))
+        ).alias("s")
+    ).distinct()
+    hits = (
+        c_sh.join(F.broadcast(b_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0).cast("long")) > 0)
+            .cast("int").alias("contaminated"),
+        )
+    )

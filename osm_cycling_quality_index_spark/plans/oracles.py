@@ -564,6 +564,61 @@ WHERE dp / (na.nrm * nb.nrm) >= {threshold}
 """
 
 
+REPETITION_STATS = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(w) AS n_words,
+         CASE WHEN len(w) > 0
+              THEN ROUND(1 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+              ELSE 0.0 END AS dup_word_frac,
+         w
+  FROM t
+),
+bg AS (
+  SELECT doc_id, w[i + 1] || ' ' || w[i + 2] AS bg
+  FROM base, UNNEST(range(0, n_words - 1)) u(i)
+  WHERE n_words >= 2
+),
+cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+per AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM cnt GROUP BY 1)
+SELECT b.doc_id, CAST(b.n_words AS INT) AS n_words, b.dup_word_frac,
+       COALESCE(ROUND(CAST(mx AS DOUBLE) / tot, 6), 0.0) AS top_bigram_frac
+FROM base b LEFT JOIN per USING (doc_id)
+"""
+
+
+def decontaminate_sql(n: int = 5, bench_mod: int = 97) -> str:
+    """Mirror of operators/quality.decontaminate with the benchmark set
+    taken as documents whose doc_id % bench_mod == 0 (the driver query's
+    deterministic benchmark)."""
+    joins = " || ' ' || ".join(f"w[i + {k}]" for k in range(1, n + 1))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, {joins} AS s
+  FROM t, UNNEST(range(0, len(w) - {n - 1})) u(i)
+  WHERE len(w) >= {n}
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {bench_mod} = 0),
+hits AS (
+  SELECT sh.doc_id, COUNT(*) AS n_hits
+  FROM sh JOIN bench USING (s)
+  GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) > 0 AS INT) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def dedup_groups_text_sql(threshold: float = 0.5) -> str:
     """Mirror of dedup_groups over MINHASH-LSH pairs on the documents
     table — same recursive-CTE closure as the embedding variant, proving

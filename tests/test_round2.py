@@ -878,3 +878,45 @@ def test_no_cartesian_in_any_driver_query(spark):
             bad[name] = hits
         spark.catalog.clearCache()
     assert not bad, bad
+
+
+# ---------------------------------------------------------------------------
+# corpus quality: repetition stats + benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats_hand_cases(spark):
+    from osm_cycling_quality_index_spark.operators.quality import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b"),      # dup 2/3 of words repeat; top bigram 'a b' 3/5
+         (1, "x y z"),            # all distinct; each bigram once -> 1/2
+         (2, "w"),                # one word: no bigrams
+         (3, "")],                # empty
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[0]["n_words"] == 6
+    assert abs(got[0]["dup_word_frac"] - round(1 - 2 / 6, 6)) < 1e-9
+    assert abs(got[0]["top_bigram_frac"] - 0.6) < 1e-9  # 'a b' 3 of 5
+    assert got[1]["top_bigram_frac"] == 0.5
+    assert got[2]["n_words"] == 1 and got[2]["top_bigram_frac"] == 0.0
+    assert got[3]["n_words"] == 0 and got[3]["dup_word_frac"] == 0.0
+
+
+def test_decontaminate_flags_only_real_overlap(spark):
+    from osm_cycling_quality_index_spark.operators.quality import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(0, "prefix the quick brown fox jumps over suffix"),  # 5-gram hit
+         (1, "the quick brown fox sleeps all day long"),       # only 4-gram
+         (2, "completely unrelated words here today friend")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in decontaminate(corpus, bench, n=5).collect()}
+    assert got[0][1] == 1 and got[0][0] >= 1
+    assert got[1] == (0, 0)
+    assert got[2] == (0, 0)
