@@ -252,11 +252,13 @@ def run_scaling(n_roads: int, n_points: int, n_cores: int = 1,
     _prepare_scaling_input(n_roads, n_points, cache)
     pairs = []
     for _ in range(repeats):
-        _wait_quiet()
+        gate_load = _wait_quiet()
         r1 = _scaling_child(n_cores, n_roads, n_points)
         r4 = _scaling_child(n_cores * 4, n_roads, n_points)
+        r1["gate_load"] = gate_load  # load at quiet-gate release: lets a
+        # reader tell a genuinely quiet launch from a 300s-timeout one
         pairs.append((r1, r4, round((r4["rows_per_sec"] / r1["rows_per_sec"]) / 4, 3)))
-        print(f"pair efficiency: {pairs[-1][2]}", file=sys.stderr)
+        print(f"pair efficiency: {pairs[-1][2]} (gate load {gate_load})", file=sys.stderr)
     best1, best4, eff = max(pairs, key=lambda p: p[2])
     results = {}
     for cores in extra_cores:
@@ -270,6 +272,7 @@ def run_scaling(n_roads: int, n_points: int, n_cores: int = 1,
         "pairs": [
             {"nN_rps": p[0]["rows_per_sec"], "n4N_rps": p[1]["rows_per_sec"],
              "loads": [p[0]["ext_loadavg"], p[1]["ext_loadavg"]],
+             "gate_load": p[0].get("gate_load"),
              "efficiency": p[2]}
             for p in pairs
         ],
@@ -289,13 +292,13 @@ def run_scaling(n_roads: int, n_points: int, n_cores: int = 1,
 
 def _pairs_table(report: dict) -> str:
     rows = [
-        f"| {p['nN_rps']:,.0f} | {p['n4N_rps']:,.0f} | {p['loads'][0]} / "
-        f"{p['loads'][1]} | {p['efficiency']} |"
+        f"| {p['nN_rps']:,.0f} | {p['n4N_rps']:,.0f} | {p.get('gate_load', '?')} "
+        f"| {p['loads'][0]} / {p['loads'][1]} | {p['efficiency']} |"
         for p in report.get("pairs", [])
     ]
     return "\n".join(
-        ["| N rows/s | 4N rows/s | loadavg N / 4N | efficiency |",
-         "|---|---|---|---|", *rows]
+        ["| N rows/s | 4N rows/s | load at gate release | loadavg N / 4N | efficiency |",
+         "|---|---|---|---|---|", *rows]
     )
 
 

@@ -42,10 +42,14 @@ class Audit:
         rows = sum(r["rows"] for r in per_part)
         nonempty = len(per_part)
         max_rows = max((r["rows"] for r in per_part), default=0)
-        mean_rows = rows / nonempty if nonempty else 0
+        total_parts = df.rdd.getNumPartitions()
+        # skew denominator is rows / TOTAL partitions (empty ones
+        # included): all-rows-in-one-of-200-partitions must read as skew
+        # 200, not 1.0 — the empty partitions ARE the imbalance
+        mean_rows = rows / total_parts if total_parts else 0
         return self.record(
             stage=name, rows=rows, wall_sec=round(wall, 3),
-            partitions=df.rdd.getNumPartitions(),
+            partitions=total_parts,
             nonempty_partitions=nonempty,
             max_partition_rows=max_rows,
             partition_skew=round(max_rows / mean_rows, 2) if mean_rows else None,

@@ -23,7 +23,11 @@ Two implementations with identical results:
   classic per-word greedy encoder with a word->count memo (words repeat
   heavily, so the memo hit rate is ~100%); the production path when the
   chain of 3x64 JVM replaces is not wanted.  Bit-equality with the column
-  path is pytest-gated on the corpus.
+  path is pytest-gated on the corpus AND on edge inputs (tab, literal
+  '|', NULL).  Known divergence: text containing NEWLINES — Spark's
+  regexp ``.`` skips ``\\n`` so the column path glues the characters
+  around it into one piece, while the twin treats ``\\n`` as an ordinary
+  in-word symbol; normalize newlines upstream if they can occur.
 """
 
 from __future__ import annotations
@@ -33,6 +37,14 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from .bpe_merges import MERGES
+
+# symbols are interpolated into single-quoted SQL literals and share the
+# text alphabet with the '|' word mark — a merges table regenerated on a
+# corpus containing quotes/pipes/whitespace must never reach the encoder
+# (tools/learn_bpe.py filters them at training time; this guards the
+# committed artifact itself)
+for _a, _b in MERGES:
+    assert not set(_a + _b) & set("'\"|\\ \t\n"), (_a, _b)
 
 #: times each rule's non-overlapping replace is repeated (handles runs of
 #: the same pair up to 2^_REPEAT symbols — corpus maximum is 2)
@@ -118,9 +130,16 @@ def bpe_encode_word(word: str) -> list[str]:
     return sym
 
 
-def _count_doc(text: str, memo: dict) -> int:
+def _count_doc(text: str | None, memo: dict) -> int | None:
+    """Count with EXACTLY the column path's boundary semantics: only ' '
+    separates words (tab/newline are ordinary symbols), a literal '|'
+    behaves like a space (the column path maps spaces onto the '|' word
+    mark, so pre-existing pipes are indistinguishable from boundaries),
+    and NULL text stays NULL."""
+    if text is None:
+        return None
     n = 0
-    for w in text.lower().split():
+    for w in text.lower().replace(_WORD_MARK, " ").split(" "):
         c = memo.get(w)
         if c is None:
             c = memo[w] = len(bpe_encode_word(w))
@@ -136,6 +155,6 @@ def bpe_token_count_fast(text: Column) -> Column:
     import order matter."""
     def _count(texts: pd.Series) -> pd.Series:
         memo: dict = {}
-        return texts.map(lambda t: _count_doc(t, memo)).astype("int32")
+        return texts.map(lambda t: _count_doc(t, memo)).astype("Int32")
 
     return F.pandas_udf(_count, "int")(text)

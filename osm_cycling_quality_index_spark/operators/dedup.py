@@ -25,6 +25,9 @@ def tokenize(df: DataFrame, text_col: str = "text", kind: str = "word") -> DataF
     shingles (``kind='shingle'``).  Shingles are the scale path: a tiny
     vocabulary makes word-set similarity degenerate (every pair overlaps),
     while the shingle space stays sparse."""
+    # NOTE: empty tokens from repeated spaces are kept inside shingles
+    # (the oracles mirror this); operators/quality._shingles is the
+    # filtered-words variant — see its docstring before unifying them
     ws = F.split(F.lower(F.col(text_col)), " ")
     if kind == "shingle":
         tok = F.when(
@@ -296,11 +299,29 @@ def connected_components(
     plan of round n+1 embeds multiple copies of round n's plan (union,
     join and self-join branches), so without lineage truncation Catalyst
     analysis cost compounds per round and a diameter-10 graph hangs the
-    driver before any execution.  (On a cluster where executor loss must
-    be survivable, swap ``localCheckpoint`` for a reliable ``checkpoint``
+    driver before any execution.  Superseded rounds' checkpoint blocks
+    are explicitly unpersisted through the JVM persistent-RDD registry:
+    neither ``DataFrame.unpersist`` nor Python GC frees a localCheckpoint
+    (verified empirically), so without this the loop pins O(rounds x
+    nodes) storage.  (On a cluster where executor loss must be
+    survivable, swap ``localCheckpoint`` for a reliable ``checkpoint``
     dir — same shape.)  Output: ``(node, component)`` for every node that
     appears in an edge.
     """
+    sc = edges.sparkSession.sparkContext
+
+    def _ckpt(df):
+        """localCheckpoint df; return (checkpointed df, ids created)."""
+        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        out = df.localCheckpoint()
+        created = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
+        return out, created
+
+    def _drop(ids):
+        reg = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            if reg.containsKey(rid):
+                reg.get(rid).unpersist(False)
     # symmetrize map-side (explode both directions from one row) so the
     # upstream pair pipeline — often an expensive LSH join — is scanned
     # once, not once per union branch
@@ -318,11 +339,10 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
+    labels, label_ids = _ckpt(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         # jump: adopt the label OF the label (pointer doubling) — a
@@ -350,12 +370,12 @@ def connected_components(
         nbr_min = sym.join(
             jumped, sym["b"] == jumped["node"]
         ).select(F.col("a").alias("node"), "component")
-        new = (
+        # materialize AND truncate lineage
+        new, new_ids = _ckpt(
             jumped.select("node", "component")
             .union(nbr_min)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()  # materialize AND truncate lineage
         )
         # labels only ever decrease, so "any row changed" == not converged;
         # limit(1) stops the scan at the first witness
@@ -366,7 +386,10 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new
+        # the superseded round's blocks are only safe to drop AFTER the
+        # convergence count that read them
+        _drop(label_ids)
+        labels, label_ids = new, new_ids
         if changed == 0:
             break
     sym.unpersist()
@@ -395,6 +418,7 @@ def dedup_groups(
             F.col("node").alias(id_col),
             F.coalesce("component", F.col("node")).alias("group_id"),
         )
+        .persist()  # fans out to the size aggregate AND the output join
     )
     sizes = labelled.groupBy("group_id").agg(
         F.count(F.lit(1)).alias("n_members")

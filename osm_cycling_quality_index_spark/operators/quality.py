@@ -23,7 +23,13 @@ def _words(text_col: str):
 
 
 def _shingles(ws, n: int):
-    """Array of n-word shingles of a word array (empty below n words)."""
+    """Array of n-word shingles of a word array (empty below n words).
+
+    Deliberately NOT shared with ``operators/dedup.tokenize`` despite the
+    identical construction: tokenize keeps empty tokens from repeated
+    spaces (its oracle mirrors that) while this module filters them via
+    :func:`_words` first — a silent merge of the two would change one
+    family's oracle-locked semantics."""
     return F.when(
         F.size(ws) >= n,
         F.transform(

@@ -794,6 +794,20 @@ def test_bpe_three_way_equality(spark):
     want = {r["doc_id"]: _count_doc(r["text"], {})
             for r in edge.select("doc_id", "text").collect()}
     assert got == want and got[1] == 0
+    # boundary-semantics edges: tab is an ordinary symbol, a literal '|'
+    # behaves like a space, NULL stays NULL — column path, fast twin and
+    # reference counter must agree on all three
+    hard = spark.createDataFrame(
+        [(0, "a\tb"), (1, "a|b er"), (2, None), (3, "  er  ")],
+        "doc_id long, text string")
+    col2 = {r["doc_id"]: r["n"] for r in
+            hard.select("doc_id", bpe_token_count(F.col("text")).alias("n")).collect()}
+    fast2 = {r["doc_id"]: r["n"] for r in
+             hard.select("doc_id", bpe_token_count_fast(F.col("text")).alias("n")).collect()}
+    ref2 = {r["doc_id"]: _count_doc(r["text"], {})
+            for r in hard.select("doc_id", "text").collect()}
+    assert col2 == fast2 == ref2, (col2, fast2, ref2)
+    assert col2[2] is None
 
 
 def test_connected_components_random_graph(spark):

@@ -41,7 +41,17 @@ def main() -> None:
                 pairs[(sym[i], sym[i + 1])] += c
         if not pairs:
             break
-        (a, b), _ = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        # symbols containing quotes, pipes, backslashes or whitespace are
+        # unusable downstream: quotes/backslashes break the single-quoted
+        # SQL interpolation in bpe_query_sql, '|' collides with the
+        # encoder's word-boundary mark (bpe.py asserts the same invariant
+        # on the committed table)
+        banned = set("'\"|\\ \t\n")
+        usable = {p: c for p, c in pairs.items()
+                  if not set(p[0] + p[1]) & banned}
+        if not usable:
+            break
+        (a, b), _ = min(usable.items(), key=lambda kv: (-kv[1], kv[0]))
         merges.append((a, b))
         new_vocab = {}
         for sym, c in vocab.items():

@@ -23,6 +23,10 @@ def main() -> int:
 
     spark = get_spark(app_name="sweep", master="local[32]",
                       shuffle_partitions=32)
+    unknown = only - set(E.queries())
+    if unknown:
+        print(f"unknown queries: {sorted(unknown)}")
+        return 1
     failures = []
     for name, fn in E.queries().items():
         if only and name not in only:
