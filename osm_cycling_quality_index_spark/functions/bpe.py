@@ -16,18 +16,25 @@ Two implementations with identical results:
   application in rank order is exactly BPE encoding: a merge at rank r can
   only create pairs involving its output symbol, and every rule consuming
   that symbol was learned later, so no earlier rule ever becomes applicable
-  again.  (A rank-r pair repeated > 2^_REPEAT times consecutively could
-  under-merge; the committed table and corpus are pytest-checked against
-  the reference encoder, which has no such bound.)
+  again.  Exhaustiveness bound (verified empirically and by site-overlap
+  argument, round 4): for a rule with DISTINCT symbols ``a != b`` the
+  pair sites are disjoint, a non-overlapping replace pass merges alternate
+  sites and the second pass catches every leftover — two passes are
+  always exhaustive, for runs of ANY length.  Same-symbol rules ``(x, x)``
+  have OVERLAPPING sites and the left-to-right non-overlap pairing can
+  strand symbols unrecoverably (``aaaaaa`` -> ``aa a aa a`` vs greedy
+  ``aa aa aa``) at any repeat count, so they are banned at learn time
+  (tools/learn_bpe.py) and at import below.  ``_REPEAT = 3`` keeps one
+  pass of headroom over the proven bound.
 * :func:`bpe_token_count_fast` — Arrow-batched pandas UDF running the
   classic per-word greedy encoder with a word->count memo (words repeat
   heavily, so the memo hit rate is ~100%); the production path when the
   chain of 3x64 JVM replaces is not wanted.  Bit-equality with the column
-  path is pytest-gated on the corpus AND on edge inputs (tab, literal
-  '|', NULL).  Known divergence: text containing NEWLINES — Spark's
-  regexp ``.`` skips ``\\n`` so the column path glues the characters
-  around it into one piece, while the twin treats ``\\n`` as an ordinary
-  in-word symbol; normalize newlines upstream if they can occur.
+  path is pytest-gated on the corpus AND on edge inputs (tab, newline,
+  literal '|', NULL).  The symbol-explosion regexp runs in dotall mode
+  (``(?s)``) in BOTH engines so ``\\n`` is an ordinary in-word symbol
+  everywhere (it can participate in no merge — the merges-table guard
+  below bans whitespace symbols), matching the twin's treatment.
 """
 
 from __future__ import annotations
@@ -42,12 +49,19 @@ from .bpe_merges import MERGES
 # text alphabet with the '|' word mark — a merges table regenerated on a
 # corpus containing quotes/pipes/whitespace must never reach the encoder
 # (tools/learn_bpe.py filters them at training time; this guards the
-# committed artifact itself)
+# committed artifact itself).  A hard raise, not `assert`: the guard must
+# survive `python -O`.
 for _a, _b in MERGES:
-    assert not set(_a + _b) & set("'\"|\\ \t\n"), (_a, _b)
+    if set(_a + _b) & set("'\"|\\ \t\n"):
+        raise ValueError(f"unusable BPE merge symbol pair: {(_a, _b)!r}")
+    if _a == _b:
+        # same-symbol rules diverge from the greedy encoder on runs >= 4
+        # under non-overlapping replace (see module docstring)
+        raise ValueError(f"same-symbol BPE merge is not chain-safe: {_a!r}")
 
-#: times each rule's non-overlapping replace is repeated (handles runs of
-#: the same pair up to 2^_REPEAT symbols — corpus maximum is 2)
+#: times each rule's non-overlapping replace is repeated; 2 is exhaustive
+#: for the distinct-symbol rules the guards above enforce (module doc), 3
+#: keeps headroom
 _REPEAT = 3
 
 _WORD_MARK = "|"
@@ -57,7 +71,9 @@ def bpe_token_count(text: Column) -> Column:
     """Number of BPE subword tokens in ``text`` (whole document), as a pure
     JVM-side expression chain — no UDF."""
     s = F.replace(F.lower(text), F.lit(" "), F.lit(_WORD_MARK))
-    s = F.concat(F.lit(" "), F.regexp_replace(s, "(.)", "$1 "))
+    # (?s): dot matches \n too, so newline-bearing text spaces out the same
+    # way in Spark (Java regex) and DuckDB (RE2) — and as the fast twin
+    s = F.concat(F.lit(" "), F.regexp_replace(s, "(?s)(.)", "$1 "))
     for a, b in MERGES:
         for _ in range(_REPEAT):
             s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
@@ -84,7 +100,7 @@ def bpe_query_sql(table: str = "documents", id_col: str = "doc_id",
              for _ in range(_REPEAT)]
     sql = (
         f"SELECT {id_col}, ' ' || regexp_replace(replace(lower({expr}), "
-        f"' ', '{_WORD_MARK}'), '(.)', '\\1 ', 'g') AS s FROM {table}"
+        f"' ', '{_WORD_MARK}'), '(?s)(.)', '\\1 ', 'g') AS s FROM {table}"
     )
     for i in range(0, len(steps), 24):
         s = "s"

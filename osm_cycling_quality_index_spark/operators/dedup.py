@@ -19,6 +19,38 @@ from pyspark.sql import functions as F
 
 _P = 2147483647  # Mersenne prime 2^31-1 for the affine hash family
 
+#: localCheckpoint RDD ids pinned by connected_components calls whose caller
+#: did not pass a ``release_ids`` list (plus cleanup callables from
+#: dedup_groups).  Neither DataFrame.unpersist, Python GC nor
+#: catalog.clearCache frees a localCheckpoint (verified empirically, see
+#: connected_components docstring) — a long-lived session that runs many
+#: dedup passes calls :func:`release_session_pinned` between them.
+_SESSION_PINNED: list = []
+
+
+def release_checkpoint_ids(spark, ids) -> None:
+    """Free localCheckpoint blocks by RDD id through the JVM persistent-RDD
+    registry.  After this the owning DataFrame is NOT recomputable (a
+    localCheckpoint truncates lineage); only call once its consumers are
+    done."""
+    reg = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        if reg.containsKey(rid):
+            reg.get(rid).unpersist(False)
+
+
+def release_session_pinned(spark) -> None:
+    """Free every checkpoint block / persist pinned by prior
+    connected_components / dedup_groups calls in this session (see
+    :data:`_SESSION_PINNED`).  Safe to call between queries; the frames
+    those calls returned must no longer be in use."""
+    for item in _SESSION_PINNED:
+        if callable(item):
+            item()
+        else:
+            release_checkpoint_ids(spark, [item])
+    _SESSION_PINNED.clear()
+
 
 def tokenize(df: DataFrame, text_col: str = "text", kind: str = "word") -> DataFrame:
     """(doc_id, word) distinct — lowercase whitespace tokens, or 3-word
@@ -280,7 +312,8 @@ def simhash_near_pairs(df: DataFrame, bits: int = 32, max_hamming: int = 3,
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25,
+    release_ids: list | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list by iterative
     hash-min label propagation WITH pointer doubling: every node starts
@@ -307,6 +340,14 @@ def connected_components(
     survivable, swap ``localCheckpoint`` for a reliable ``checkpoint``
     dir — same shape.)  Output: ``(node, component)`` for every node that
     appears in an edge.
+
+    The RETURNED frame's own checkpoint blocks cannot be freed through any
+    DataFrame API either.  If ``release_ids`` is a list, the final block
+    ids are appended to it so the caller can free them with
+    :func:`release_checkpoint_ids` once the result is consumed (after
+    which the frame is dead — do not reuse it).  With ``release_ids=None``
+    the ids go to the module registry instead and
+    :func:`release_session_pinned` frees them later.
     """
     sc = edges.sparkSession.sparkContext
 
@@ -393,12 +434,16 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    (release_ids if release_ids is not None else _SESSION_PINNED).extend(
+        label_ids
+    )
     return labels
 
 
 def dedup_groups(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     a: str = "doc_a", b: str = "doc_b", max_iter: int = 25,
+    release: list | None = None,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into dedup GROUPS with one keeper per group —
     the step every production dedup pipeline needs after LSH: transitive
@@ -406,11 +451,28 @@ def dedup_groups(
 
     ``df`` is the full corpus (so singletons keep themselves), ``pairs`` any
     near-dup pair frame (minhash_lsh_pairs / simhash_near_pairs /
-    embedding_near_dups output).  group_id is the minimum member id (stable
-    and order-free); the keeper is the group_id row itself.  Output:
-    ``(id_col, group_id, n_members, is_keeper)``, one row per corpus row.
+    embedding_near_dups output).  Pair endpoints absent from the corpus are
+    dropped up front (semi-join both sides): without that, a non-corpus id
+    that is a component's minimum would become a group_id no corpus row
+    carries and the group would get no keeper.  group_id is the minimum
+    member id (stable and order-free); the keeper is the group_id row
+    itself.  Output: ``(id_col, group_id, n_members, is_keeper)``, one row
+    per corpus row.
+
+    Storage: the run pins one persisted frame plus the component labels'
+    localCheckpoint blocks.  If ``release`` is a list, a zero-arg cleanup
+    callable is appended — call it once the output is consumed (the frame
+    is not reusable afterwards); otherwise the cleanup is registered for
+    :func:`release_session_pinned`.
     """
-    cc = connected_components(pairs, a, b, max_iter)
+    corpus_ids = df.select(F.col(id_col).alias("_corpus_id"))
+    pairs = (
+        pairs
+        .join(corpus_ids.select(F.col("_corpus_id").alias(a)), a, "left_semi")
+        .join(corpus_ids.select(F.col("_corpus_id").alias(b)), b, "left_semi")
+    )
+    cc_ids: list = []
+    cc = connected_components(pairs, a, b, max_iter, release_ids=cc_ids)
     labelled = (
         df.select(F.col(id_col).alias("node"))
         .join(cc, "node", "left")
@@ -423,6 +485,12 @@ def dedup_groups(
     sizes = labelled.groupBy("group_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+    def _cleanup(spark=df.sparkSession, ids=cc_ids, frame=labelled):
+        frame.unpersist()
+        release_checkpoint_ids(spark, ids)
+
+    (release if release is not None else _SESSION_PINNED).append(_cleanup)
     return (
         labelled.join(sizes, "group_id")
         .select(

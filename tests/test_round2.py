@@ -767,8 +767,9 @@ def test_dedup_groups_keeper_and_singletons(spark):
 
 def test_bpe_three_way_equality(spark):
     """Column replace-chain == Arrow-batched twin == classic greedy encoder
-    on the corpus, plus a pathological same-pair run (the replace chain
-    handles runs up to 2^_REPEAT symbols)."""
+    on the corpus, plus a pathological same-pair run (two replace passes
+    are exhaustive for the distinct-symbol rules the import guard
+    enforces; see functions/bpe.py module doc)."""
     from pyspark.sql import functions as F
 
     from osm_cycling_quality_index_spark.functions.bpe import (
@@ -798,7 +799,8 @@ def test_bpe_three_way_equality(spark):
     # behaves like a space, NULL stays NULL — column path, fast twin and
     # reference counter must agree on all three
     hard = spark.createDataFrame(
-        [(0, "a\tb"), (1, "a|b er"), (2, None), (3, "  er  ")],
+        [(0, "a\tb"), (1, "a|b er"), (2, None), (3, "  er  "),
+         (4, "er\ner"), (5, "a\nb c"), (6, "\n\n"), (7, "low\r\ner")],
         "doc_id long, text string")
     col2 = {r["doc_id"]: r["n"] for r in
             hard.select("doc_id", bpe_token_count(F.col("text")).alias("n")).collect()}

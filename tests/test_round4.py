@@ -1,0 +1,184 @@
+"""Round-4 hardening tests: dedup storage release, foreign pair endpoints,
+BPE learner validation gate, xxhash word-id mode parity."""
+
+from __future__ import annotations
+
+import importlib.util
+import pathlib
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def _registry_size(spark) -> int:
+    return len(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+
+
+# ---------------------------------------------------------------------------
+# connected-components / dedup_groups storage release
+# ---------------------------------------------------------------------------
+
+def test_dedup_groups_releases_storage(spark):
+    """After a dedup_groups run's output is collected and its cleanup
+    callable invoked, the JVM persistent-RDD registry is back to its
+    pre-call size (localCheckpoint blocks freed, labelled persist gone)."""
+    from osm_cycling_quality_index_spark.operators.dedup import dedup_groups
+
+    corpus = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "doc_a long, doc_b long")
+    before = _registry_size(spark)
+    release: list = []
+    out = dedup_groups(corpus, pairs, release=release)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 8 and rows[2]["group_id"] == 0
+    assert _registry_size(spark) > before  # run really pinned storage
+    for fn in release:
+        fn()
+    assert _registry_size(spark) == before
+
+
+def test_release_session_pinned(spark):
+    """Calls without an explicit release list register with the module-level
+    registry; release_session_pinned(spark) frees everything."""
+    from osm_cycling_quality_index_spark.operators.dedup import (
+        connected_components, dedup_groups, release_session_pinned,
+    )
+
+    release_session_pinned(spark)  # drain pins left by earlier tests
+    before = _registry_size(spark)
+    corpus = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1), (3, 4)], "doc_a long, doc_b long")
+    dedup_groups(corpus, pairs).collect()
+    connected_components(pairs, "doc_a", "doc_b").collect()
+    assert _registry_size(spark) > before
+    release_session_pinned(spark)
+    assert _registry_size(spark) == before
+
+
+def test_dedup_groups_foreign_pair_endpoints(spark):
+    """Pair endpoints absent from the corpus are dropped: a non-corpus id
+    that would be a component minimum must not become a keeper-less
+    group_id (ADVICE r3)."""
+    from osm_cycling_quality_index_spark.operators.dedup import dedup_groups
+
+    corpus = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5)], "doc_id long")
+    # 0 is NOT in the corpus but is the minimum of its would-be component
+    pairs = spark.createDataFrame(
+        [(0, 2), (3, 4)], "doc_a long, doc_b long")
+    release: list = []
+    rows = {r["doc_id"]: r for r in
+            dedup_groups(corpus, pairs, release=release).collect()}
+    for fn in release:
+        fn()
+    assert {d: r["group_id"] for d, r in rows.items()} == {
+        1: 1, 2: 2, 3: 3, 4: 3, 5: 5}
+    # every group has exactly one keeper, and it is a corpus row
+    keepers = [d for d, r in rows.items() if r["is_keeper"]]
+    assert sorted(keepers) == [1, 2, 3, 5]
+
+
+# ---------------------------------------------------------------------------
+# BPE learner validation gate (_REPEAT under-merge bound)
+# ---------------------------------------------------------------------------
+
+def _learn_bpe_module():
+    spec = importlib.util.spec_from_file_location(
+        "learn_bpe", REPO / "tools" / "learn_bpe.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_learn_bpe_validates_committed_table():
+    """The committed merges table passes the learner-time under-merge gate
+    on its own training corpus (replace-chain == greedy for every word)."""
+    import duckdb
+
+    from osm_cycling_quality_index_spark.functions.bpe_merges import MERGES
+
+    mod = _learn_bpe_module()
+    rows = duckdb.connect().execute(
+        f"SELECT text FROM '{SF}/documents.parquet'").fetchall()
+    words = {w for (t,) in rows for w in t.lower().split()}
+    mod.validate_merges(MERGES, words)  # must not raise
+
+
+def test_learn_bpe_rejects_undermerge():
+    """Same-symbol rules trip the learner gate (they strand symbols under
+    non-overlapping replace on runs >= 4 at any repeat count); distinct-
+    symbol rules are exhaustive for runs of any length."""
+    mod = _learn_bpe_module()
+    # structural rejection of (x, x)
+    with pytest.raises(ValueError, match="same-symbol"):
+        mod.validate_merges([("a", "a")], ["aaaaaa"])
+    # the empirical under-merge it guards against is real: chain 4 != greedy 3
+    assert mod.simulate_column_count("aaaaaa", [("a", "a")], 3) == 4
+    assert mod.greedy_count("aaaaaa", [("a", "a")]) == 3
+    # distinct-symbol rule: exhaustive even on a 128-symbol run
+    mod.validate_merges([("e", "r")], ["er" * 64, "erer", "banana"])
+
+
+# ---------------------------------------------------------------------------
+# xxhash word-id mode parity (the declared 100-TB production path)
+# ---------------------------------------------------------------------------
+
+def test_xxhash_mode_minhash_parity(spark):
+    """minhash_lsh_pairs produces the SAME near-dup pair set under
+    mode='xxhash' (the declared 100-TB production path) and
+    mode='dictionary' (the oracle path) on the sf0.01 corpus: the
+    exact-Jaccard verify is mode-independent, so any divergence would mean
+    the banding misses a true pair under one hash family."""
+    from osm_cycling_quality_index_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    d = spark.read.parquet(f"{SF01}/documents.parquet")
+    by_mode = {}
+    for mode in ("dictionary", "xxhash"):
+        by_mode[mode] = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in minhash_lsh_pairs(d, mode=mode).collect()
+        }
+        spark.catalog.clearCache()
+    assert by_mode["dictionary"] == by_mode["xxhash"]
+    assert by_mode["dictionary"]  # non-vacuous: corpus has near-dups
+
+
+def test_xxhash_mode_simhash_exhaustive(spark):
+    """SimHash pair SETS are intrinsically hash-family-dependent (the
+    word->bit map IS the random-projection family), so cross-mode equality
+    is the wrong invariant — measured on sf0.01: 3,126 pairs (dictionary)
+    vs 16,880 (xxhash) at hamming<=3/32, both mid-distribution on this
+    template-generated, tiny-vocabulary corpus; recall of shingle-Jaccard
+    >=0.5 truth pairs is 8/25 vs 17/25.  The mode-independent property
+    worth pinning is EXHAUSTIVENESS: for each mode, the block-pigeonhole
+    candidate generation loses nothing — the operator's output equals the
+    brute-force all-pairs hamming filter over that mode's own signatures.
+    This is the first coverage of the production xxhash path end-to-end."""
+    from osm_cycling_quality_index_spark.operators.dedup import (
+        simhash, simhash_near_pairs,
+    )
+
+    d = spark.read.parquet(f"{SF01}/documents.parquet")
+    for mode in ("dictionary", "xxhash"):
+        sigs = {r["doc_id"]: r["simhash"]
+                for r in simhash(d, mode=mode).collect()}
+        spark.catalog.clearCache()
+        ids = sorted(sigs)
+        brute = {
+            (a, b)
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+        }
+        got = {(r["doc_a"], r["doc_b"])
+               for r in simhash_near_pairs(d, mode=mode).collect()}
+        spark.catalog.clearCache()
+        assert got == brute, (mode, len(got), len(brute))
+        assert brute  # non-vacuous

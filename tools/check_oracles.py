@@ -100,8 +100,14 @@ def main() -> int:
             spark_rows = [r.asDict() for r in sdf.collect()]
             cols = sorted(sdf.columns)
             # queries persist fan-out frames internally; don't let caches
-            # accumulate across the replay loop
+            # accumulate across the replay loop.  clearCache misses
+            # localCheckpoint blocks (connected_components), so release
+            # those through the dedup module's registry too.
             spark.catalog.clearCache()
+            from osm_cycling_quality_index_spark.operators.dedup import (
+                release_session_pinned,
+            )
+            release_session_pinned(spark)
         except Exception as exc:  # noqa: BLE001
             print(f"[FAIL] {name}: spark error: {exc}")
             failures.append(name)

@@ -21,12 +21,74 @@ from collections import Counter
 
 import duckdb
 
-N_MERGES = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 CORPUS = "/root/testdata/sf0.001/documents.parquet"
 OUT = "osm_cycling_quality_index_spark/functions/bpe_merges.py"
 
 
+def simulate_column_count(word: str, merges: list[tuple[str, str]],
+                          repeat: int) -> int:
+    """Token count of ``word`` under the engine's replace-chain semantics:
+    each rule applied as a non-overlapping literal replace, ``repeat``
+    times (str.replace == Spark F.replace == DuckDB replace)."""
+    s = " " + " ".join(word) + " "
+    for a, b in merges:
+        for _ in range(repeat):
+            s = s.replace(f" {a} {b} ", f" {a}{b} ")
+    return len(s.split())
+
+
+def greedy_count(word: str, merges: list[tuple[str, str]]) -> int:
+    """Reference greedy encoder (lowest-rank adjacent pair first),
+    identical to functions/bpe.py bpe_encode_word."""
+    rank = {p: i for i, p in enumerate(merges)}
+    sym = list(word)
+    while len(sym) > 1:
+        best_rank = min((rank[p] for p in zip(sym, sym[1:]) if p in rank),
+                        default=None)
+        if best_rank is None:
+            break
+        a, b = merges[best_rank]
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return len(sym)
+
+
+def validate_merges(merges: list[tuple[str, str]], words) -> None:
+    """Learner-time gate: raise ValueError if the table could make the
+    engine's replace chain diverge from the greedy encoder.
+
+    (a) Structural: same-symbol rules ``(x, x)`` are rejected outright —
+    their pair sites overlap, and non-overlapping left-to-right replace can
+    strand symbols unrecoverably on runs >= 4 (``aaaaaa`` -> 4 tokens vs
+    greedy 3) at ANY repeat count.  Distinct-symbol rules have disjoint
+    sites and two passes are always exhaustive (functions/bpe.py module
+    doc).  (b) Empirical: replace-chain simulation at the engine's _REPEAT
+    must equal the greedy count for every training-corpus word."""
+    from osm_cycling_quality_index_spark.functions.bpe import _REPEAT
+
+    same = [p for p in merges if p[0] == p[1]]
+    if same:
+        raise ValueError(
+            f"same-symbol merges are not chain-safe (under-merge on runs "
+            f">= 4): {same!r}")
+    bad = [w for w in words
+           if simulate_column_count(w, merges, _REPEAT)
+           != greedy_count(w, merges)]
+    if bad:
+        raise ValueError(
+            f"replace-chain under-merge at _REPEAT={_REPEAT} for "
+            f"{len(bad)} corpus words, e.g. {bad[:3]!r}")
+
+
 def main() -> None:
+    n_merges = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     rows = duckdb.connect().execute(f"SELECT text FROM '{CORPUS}'").fetchall()
     words = Counter()
     for (t,) in rows:
@@ -34,7 +96,7 @@ def main() -> None:
     vocab = {tuple(w): c for w, c in words.items()}
 
     merges: list[tuple[str, str]] = []
-    for _ in range(N_MERGES):
+    for _ in range(n_merges):
         pairs: Counter = Counter()
         for sym, c in vocab.items():
             for i in range(len(sym) - 1):
@@ -47,8 +109,10 @@ def main() -> None:
         # encoder's word-boundary mark (bpe.py asserts the same invariant
         # on the committed table)
         banned = set("'\"|\\ \t\n")
+        # same-symbol pairs (x, x) are also skipped: not chain-safe under
+        # non-overlapping replace (see validate_merges)
         usable = {p: c for p, c in pairs.items()
-                  if not set(p[0] + p[1]) & banned}
+                  if not set(p[0] + p[1]) & banned and p[0] != p[1]}
         if not usable:
             break
         (a, b), _ = min(usable.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -66,6 +130,7 @@ def main() -> None:
             new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
         vocab = new_vocab
 
+    validate_merges(merges, words.keys())
     with open(OUT, "w") as fh:
         fh.write(
             '"""BPE merges table learned from the sf0.001 documents corpus by\n'
