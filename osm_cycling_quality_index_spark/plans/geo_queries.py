@@ -253,7 +253,7 @@ def q_geo_pip_join(spark, sf_dir):
     from ..operators.images import pip_join
 
     return pip_join(
-        _points_df(spark, sf_dir), _triangles_df(spark, sf_dir), res=7
+        _points_df(spark, sf_dir), _triangles_df(spark, sf_dir), res=9
     ).select(F.col("image_id").alias("point_id"), "poly_id")
 
 
