@@ -78,6 +78,25 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         timings[name] = min(per)
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 2)
+    # full sweep: ONE pass over every driver query, so the slowest and the
+    # newest queries are tracked round-over-round in the bench artifact,
+    # not only the 8 headline ones (r3 verdict item 6).  Headline queries
+    # reuse their min-of-2 (already measured, warmer and tighter).
+    from osm_cycling_quality_index_spark.operators.dedup import (
+        release_session_pinned,
+    )
+
+    sweep = dict(timings)
+    for name, fn in queries.items():
+        if name in sweep:
+            continue
+        spark.catalog.clearCache()
+        release_session_pinned(spark)
+        t0 = time.time()
+        _materialize(fn(spark, sf_dir))
+        sweep[name] = round(time.time() - t0, 2)
+    spark.catalog.clearCache()
+    release_session_pinned(spark)
     with open("/proc/loadavg") as fh:
         load_after = fh.read().split()[:3]
     return {
@@ -87,6 +106,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "queries": timings,
         "query_passes": passes,
         "ext_loadavg": loads,
+        "sweep_single_pass": sweep,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": cpus,
         "ext_loadavg_after": load_after,
@@ -227,8 +247,12 @@ def _scaling_child(cores: int, n_roads: int, n_points: int) -> dict:
         capture_output=True, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
-    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-    run = json.loads(line)
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    if proc.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"scaling child local[{cores}] failed (rc={proc.returncode}); "
+            f"stderr tail:\n{proc.stderr[-2000:]}")
+    run = json.loads(lines[-1])
     print(f"local[{cores}]: {run}", file=sys.stderr)
     return run
 
@@ -260,6 +284,10 @@ def run_scaling(n_roads: int, n_points: int, n_cores: int = 1,
         pairs.append((r1, r4, round((r4["rows_per_sec"] / r1["rows_per_sec"]) / 4, 3)))
         print(f"pair efficiency: {pairs[-1][2]} (gate load {gate_load})", file=sys.stderr)
     best1, best4, eff = max(pairs, key=lambda p: p[2])
+    effs = sorted(p[2] for p in pairs)
+    mid = len(effs) // 2
+    eff_median = (effs[mid] if len(effs) % 2
+                  else round((effs[mid - 1] + effs[mid]) / 2, 3))
     results = {}
     for cores in extra_cores:
         _wait_quiet()
@@ -277,7 +305,8 @@ def run_scaling(n_roads: int, n_points: int, n_cores: int = 1,
             for p in pairs
         ],
         "extra": [results[c] for c in extra_cores if c in results],
-        "scaling_efficiency": eff,
+        "scaling_efficiency": eff,  # BEST-of-R pair selection — see median
+        "scaling_efficiency_median": eff_median,
     }
     # the criterion-at-higher-N numbers are reported alongside the claimed
     # pass, not buried in raw rows: compute every 4x pair present in extras
@@ -350,7 +379,11 @@ All N/4N pairs (throughput in rows/s; loadavg at each run):
 
 **Scaling efficiency (throughput_{r4['cores']} / throughput_{rn['cores']}) / 4
 = {report['scaling_efficiency']}** (criterion: >= 0.8 between N and 4N
-parallelism).
+parallelism).  This headline figure is the BEST of the
+{len(report.get('pairs', []))} measured pairs — a best-of-R selection that
+biases upward under run-to-run noise; the MEDIAN pair is
+**{report.get('scaling_efficiency_median')}**, reported alongside so the
+claim can be read either way.
 {_eff_8_32_line(report)}
 Method note: N={rn['cores']} vs 4N={r4['cores']} executors (1 core each) is
 the window where compute, not this VM's memory system, is the scaled

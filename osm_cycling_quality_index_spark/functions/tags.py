@@ -96,28 +96,24 @@ def split_delimited_numbers(c: Column, deli_char: str) -> Column:
     )
 
 
-def _surface_order_lit() -> Column:
-    return F.array(*[F.lit(s) for s in P.SURFACE_VALUE_ORDER])
-
-
 def weakest_surface_value(arr: Column) -> Column:
     """Pick the value with the highest index in the quality-ordered surface
     list; NULL when no element is a known surface
     (reference/definitions.py:114-126).
 
-    Implemented as max over (position, token) structs rather than
-    ``element_at(order, array_max(...))`` — Spark 4.1's codegen for
-    element_at on a foldable array with a runtime-NULL index wrongly yields
-    the last element instead of NULL.
+    The quality order is a fixed 29-value list, so "the present value with
+    the highest index" unrolls statically: coalesce over the REVERSED order
+    of ``array_contains`` gates.  No higher-order function — lambdas are
+    CodegenFallback (they evict the whole Project from whole-stage codegen)
+    and have no parseable SQL text for the generated-plan fast path
+    (plans/cqi_sql_gen.py) — and no ``element_at``, whose codegen on a
+    foldable array with a runtime-NULL index wrongly yields the last
+    element.
     """
-    order = _surface_order_lit()
-    pairs = F.filter(
-        F.transform(
-            arr, lambda x: F.struct(F.array_position(order, x).alias("p"), x.alias("t"))
-        ),
-        lambda s: s["p"] > 0,
-    )
-    return F.array_max(pairs)["t"]
+    return F.coalesce(*[
+        F.when(F.array_contains(arr, v), F.lit(v))
+        for v in reversed(P.SURFACE_VALUE_ORDER)
+    ])
 
 
 def joined_flags(pairs: list[tuple[Column, Column | str]]) -> Column:

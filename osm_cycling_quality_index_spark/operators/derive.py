@@ -192,16 +192,14 @@ def _width_group_c_stage1(wt: Column, proc_oneway: Column) -> dict[str, Column]:
     prw = park_width(pr, pro, prw0)
     plw = park_width(pl, plo, plw0)
 
-    # --- cycle-lane widths and buffers (:879-972)
-    cw, cwb = _c("cycleway"), _c("cycleway:both")
+    # --- cycle-lane widths and buffers (:879-972); the resolved cwr/cwl
+    # chains are staged by width_stage as _w_cwr/_w_cwl BEFORE this runs —
+    # they are referenced many times below, and both Catalyst analysis and
+    # Expression.sql duplicate shared subtrees per reference
+    cwr = _c("_w_cwr")
+    cwl = _c("_w_cwl")
     ow_tag = _c("oneway")
     ow_no = falsy(ow_tag) | (ow_tag == "no")
-    cwr = _c("cycleway:right")
-    cwl = _c("cycleway:left")
-    cwr = F.when(truthy(cw) & falsy(cwr), cw).otherwise(cwr)
-    cwl = F.when(truthy(cw) & falsy(cwl) & ow_no, cw).otherwise(cwl)
-    cwr = F.when(truthy(cwb) & falsy(cwr), cwb).otherwise(cwr)
-    cwl = F.when(truthy(cwb) & falsy(cwl), cwb).otherwise(cwl)
     lane_any = (cwr == "lane") | (cwl == "lane")
 
     cww, cwbw = _c("cycleway:width"), _c("cycleway:both:width")
@@ -302,12 +300,27 @@ def _map_lookup(key: Column, mapping: dict, fallback=None) -> Column:
     return expr.otherwise(clit(fallback))
 
 
+def _cwr_cwl_exprs() -> dict[str, Column]:
+    """Resolved cycleway:right/left chains (:879-898) as temp columns."""
+    cw, cwb = _c("cycleway"), _c("cycleway:both")
+    ow_tag = _c("oneway")
+    ow_no = falsy(ow_tag) | (ow_tag == "no")
+    cwr = _c("cycleway:right")
+    cwl = _c("cycleway:left")
+    cwr = F.when(truthy(cw) & falsy(cwr), cw).otherwise(cwr)
+    cwl = F.when(truthy(cw) & falsy(cwl) & ow_no, cw).otherwise(cwl)
+    cwr = F.when(truthy(cwb) & falsy(cwr), cwb).otherwise(cwr)
+    cwl = F.when(truthy(cwb) & falsy(cwl), cwb).otherwise(cwl)
+    return {"_w_cwr": cwr, "_w_cwl": cwl}
+
+
 def width_stage(df: DataFrame) -> DataFrame:
     """proc_width + data_missing width flags
     (reference/cycling_quality_index.py:746-1013), staged through ``_w_*``
     temp columns to keep analyzed expression trees small."""
     wt = _c("way_type")
     proc_oneway = _c("proc_oneway")
+    df = df.withColumns(_cwr_cwl_exprs())
     df = df.withColumns(_width_group_c_stage1(wt, proc_oneway))
     a_width, a_missing = _width_group_a(wt, proc_oneway)
     b_width, b_missing1, b_missing2 = _width_group_b(proc_oneway)
@@ -337,19 +350,27 @@ _SURFACE_KEYS = list(P.SURFACE_FACTOR_DICT.keys())
 _SMOOTHNESS_KEYS = list(P.SMOOTHNESS_FACTOR_DICT.keys())
 
 
-def surface_expr() -> tuple[Column, Column, Column, Column]:
-    """(proc_surface, proc_smoothness, dm_surface, dm_smoothness)
-    (reference/cycling_quality_index.py:1016-1095)."""
+def surface_stage(df: DataFrame) -> DataFrame:
+    """proc_surface / proc_smoothness + their data_missing flags
+    (reference/cycling_quality_index.py:1016-1095), staged through ``_s_*``
+    temp columns: the bicycle-override (``ps0``) and merged (``ps1``)
+    ladders are each referenced up to 29x by the unrolled weakest-surface
+    gates, and shared subtrees are duplicated per reference by both
+    Catalyst analysis and Expression.sql."""
     wt = _c("way_type")
     sb = _c("surface:bicycle")
     smb = _c("smoothness:bicycle")
-    ps0 = F.when(
-        truthy(sb),
-        F.when(sb.isin(_SURFACE_KEYS), sb).when(
-            sb.contains(";"), weakest_surface_value(split_delimited(sb, ";"))
+    df = df.withColumns({
+        "_s_ps0": F.when(
+            truthy(sb),
+            F.when(sb.isin(_SURFACE_KEYS), sb).when(
+                sb.contains(";"), weakest_surface_value(split_delimited(sb, ";"))
+            ),
         ),
-    )
-    psm0 = F.when(truthy(smb) & smb.isin(_SMOOTHNESS_KEYS), smb)
+        "_s_psm0": F.when(truthy(smb) & smb.isin(_SMOOTHNESS_KEYS), smb),
+    })
+    ps0 = _c("_s_ps0")
+    psm0 = _c("_s_psm0")
 
     seg = wt == "segregated path"
     hw_surface = _map_lookup(
@@ -383,26 +404,40 @@ def surface_expr() -> tuple[Column, Column, Column, Column]:
     psm_oth = fcoalesce(psm0, _c("smoothness"))
     dm_smooth_oth = falsy(psm0) & falsy(_c("smoothness"))
 
-    ps1 = F.when(truthy(ps0), ps0).otherwise(F.when(seg, ps_seg).otherwise(ps_oth))
-    dm_surface = falsy(ps0) & F.when(seg, dm_surface_seg).otherwise(dm_surface_oth)
-    psm1 = F.when(truthy(ps0), psm0).otherwise(F.when(seg, psm_seg).otherwise(psm_oth))
-    dm_smooth = falsy(ps0) & F.when(seg, dm_smooth_seg).otherwise(dm_smooth_oth)
+    df = df.withColumns({
+        "_s_ps1": F.when(truthy(ps0), ps0).otherwise(
+            F.when(seg, ps_seg).otherwise(ps_oth)
+        ),
+        "_s_psm1": F.when(truthy(ps0), psm0).otherwise(
+            F.when(seg, psm_seg).otherwise(psm_oth)
+        ),
+        "dm_surface": falsy(ps0)
+        & F.when(seg, dm_surface_seg).otherwise(dm_surface_oth),
+        "dm_smoothness": falsy(ps0)
+        & F.when(seg, dm_smooth_seg).otherwise(dm_smooth_oth),
+    })
 
+    ps1 = _c("_s_ps1")
     ps2 = F.when(
         ps1.contains(";"), weakest_surface_value(split_delimited(ps1, ";"))
     ).otherwise(ps1)
-    proc_surface = F.when(ps2.isin(_SURFACE_KEYS), ps2)
-    proc_smoothness = F.when(psm1.isin(_SMOOTHNESS_KEYS), psm1)
-    return proc_surface, proc_smoothness, dm_surface, dm_smooth
+    df = df.withColumns({
+        "proc_surface": F.when(ps2.isin(_SURFACE_KEYS), ps2),
+        "proc_smoothness": F.when(_c("_s_psm1").isin(_SMOOTHNESS_KEYS), _c("_s_psm1")),
+    })
+    return df.drop("_s_ps0", "_s_psm0", "_s_ps1", "_s_psm1")
 
 
 _MVP = ["motor_vehicle", "psv", "parking"]
 _SIDEPATH_TYPES = ["cycle track", "shared path", "segregated path", "shared footway"]
 
 
-def separation_exprs() -> dict[str, Column]:
+def separation_stage(df: DataFrame) -> DataFrame:
     """Traffic modes, separation and buffers per side
-    (reference/cycling_quality_index.py:1098-1214)."""
+    (reference/cycling_quality_index.py:1098-1214).  The resolved tml/tmr
+    chains are staged as ``_sp_*`` temp columns first: tmr embeds tml, and
+    the separation/buffer rules reference both repeatedly — shared
+    subtrees are duplicated per reference by analysis/Expression.sql."""
     wt = _c("way_type")
     side = _c("side")
     central = wt == "cycle lane (central)"
@@ -427,6 +462,8 @@ def separation_exprs() -> dict[str, Column]:
             F.lit("motor_vehicle"),
         )
     )
+    df = df.withColumns({"_sp_tml": tml})
+    tml = _c("_sp_tml")
     tmr = F.when(truthy(tmr1), tmr1).otherwise(
         F.when(wt == "cycle path", "no")
         .when(wt == "crossing", "motor_vehicle")
@@ -436,6 +473,8 @@ def separation_exprs() -> dict[str, Column]:
         )
         .when(wt.isin(_SIDEPATH_TYPES) & (is_sidepath == "yes"), F.lit("foot"))
     )
+    df = df.withColumns({"_sp_tmr": tmr})
+    tmr = _c("_sp_tmr")
 
     sl0 = fcoalesce(_c("separation:left"), _c("separation:both"))
     sr0 = fcoalesce(_c("separation:right"), _c("separation:both"))
@@ -476,14 +515,15 @@ def separation_exprs() -> dict[str, Column]:
             _nonzero(b) & tmr_not_mvp & (tml == "motor_vehicle") & ~_nonzero(bl1), b
         ).otherwise(bl1)
 
-    return {
+    df = df.withColumns({
         "proc_traffic_mode_left": F.when(central, F.lit("motor_vehicle")).otherwise(tml),
         "proc_traffic_mode_right": F.when(central, F.lit("motor_vehicle")).otherwise(tmr),
         "proc_separation_left": F.when(central, F.lit(None).cast("string")).otherwise(sl),
         "proc_separation_right": F.when(central, F.lit(None).cast("string")).otherwise(sr),
         "proc_buffer_left": F.when(central, F.lit(None).cast("double")).otherwise(bl2),
         "proc_buffer_right": F.when(central, F.lit(None).cast("double")).otherwise(br2),
-    }
+    })
+    return df.drop("_sp_tml", "_sp_tmr")
 
 
 def mandatory_expr(cols, proc_oneway: Column) -> Column:
@@ -506,22 +546,33 @@ def mandatory_expr(cols, proc_oneway: Column) -> Column:
     )
 
     # traffic-sign evaluation: last matching token decides; within a token the
-    # mandatory match overwrites the not-mandatory one (:1243-1251)
-    toks = F.split(F.replace(_c("traffic_sign"), F.lit(","), F.lit(";")), ";")
+    # mandatory match overwrites the not-mandatory one (:1243-1251).
+    # Lambda-free form of the token fold (an F.aggregate here is
+    # CodegenFallback and has no parseable SQL for the generated-plan fast
+    # path): sign ids contain no ';', so a substring match in the full
+    # ','->';' normalized string never crosses a token boundary, and the
+    # fold's "last defined tok_val wins, mandatory beats not-mandatory
+    # within a token" is exactly: compare the LAST ';'-token index holding
+    # any mandatory sign (ties included) against the last holding any
+    # not-mandatory sign.
+    ts = F.replace(_c("traffic_sign"), F.lit(","), F.lit(";"))
+    ts_rev = F.reverse(ts)
+    ts_len = F.length(ts)
 
-    def tok_val(t: Column) -> Column:
-        has_m = None
-        for s in P.MANDATORY_TRAFFIC_SIGN_LIST:
-            c = t.contains(F.lit(s))
-            has_m = c if has_m is None else (has_m | c)
-        has_n = None
-        for s in P.NOT_MANDATORY_TRAFFIC_SIGN_LIST:
-            c = t.contains(F.lit(s))
-            has_n = c if has_n is None else (has_n | c)
-        return F.when(has_m, F.lit("yes")).when(has_n, F.lit("no"))
+    def last_tok_idx(sign: str) -> Column:
+        # 0-based index of the last token containing ``sign``; NULL if absent
+        pos_rev = F.instr(ts_rev, sign[::-1])
+        prefix = ts.substr(F.lit(1), ts_len - pos_rev + 1)
+        return F.when(
+            pos_rev > 0,
+            F.length(prefix) - F.length(F.replace(prefix, F.lit(";"), F.lit(""))),
+        )
 
-    sign_val = F.aggregate(
-        toks, F.lit(None).cast("string"), lambda acc, t: F.coalesce(tok_val(t), acc)
+    m_tok = F.greatest(*[last_tok_idx(s) for s in P.MANDATORY_TRAFFIC_SIGN_LIST])
+    n_tok = F.greatest(*[last_tok_idx(s) for s in P.NOT_MANDATORY_TRAFFIC_SIGN_LIST])
+    sign_val = (
+        F.when(m_tok.isNotNull() & (n_tok.isNull() | (m_tok >= n_tok)), F.lit("yes"))
+        .when(n_tok.isNotNull(), F.lit("no"))
     )
     pathish = F.when(
         (_c("proc_sidepath") == "yes") & truthy(_c("traffic_sign")), sign_val
@@ -537,14 +588,8 @@ def derive_attributes(df: DataFrame) -> DataFrame:
     """Apply the whole stage-4 derivation."""
     df = df.withColumn("proc_oneway", oneway_expr())
     df = width_stage(df)
-    ps, psm, dm_surface, dm_smooth = surface_expr()
-    df = df.withColumns({
-        "proc_surface": ps,
-        "proc_smoothness": psm,
-        "dm_surface": dm_surface,
-        "dm_smoothness": dm_smooth,
-    })
-    df = df.withColumns(separation_exprs())
+    df = surface_stage(df)
+    df = separation_stage(df)
     df = df.withColumns({
         "proc_mandatory": mandatory_expr(df.columns, F.col("proc_oneway")),
         "proc_traffic_sign": _c("traffic_sign"),

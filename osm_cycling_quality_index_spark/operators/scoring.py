@@ -57,17 +57,16 @@ def score(df: DataFrame) -> DataFrame:
     proc_oneway = _c("proc_oneway")
     proc_width = _c("proc_width")
     is_sidepath = _c("proc_sidepath")
-    mva = get_access(df.columns, "motor_vehicle")
+    # stage the access ladder + the width-calc chain first: calc_width is
+    # referenced by the nonzero gate, the logistic curve (4x) and the
+    # pyround shim (~6x), and analysis/Expression.sql duplicate shared
+    # subtrees per reference
+    mva0 = get_access(df.columns, "motor_vehicle")
+    df = df.withColumns({"_sc_mva": mva0})
+    mva = _c("_sc_mva")
     mva_restricted = mva.isin(list(P.MOTOR_VEHICLE_ACCESS_INDEX_DICT.keys()))
 
-    # ---- base index (:1292-1302)
-    base_index = _map_lookup(wt, P.BASE_INDEX_DICT)
-    base_index = F.when(
-        wt.isin(_SHARED_4) & mva_restricted,
-        _map_lookup(mva, P.MOTOR_VEHICLE_ACCESS_INDEX_DICT),
-    ).otherwise(base_index)
-
-    # ---- width factor (:1307-1348)
+    # ---- width calc (:1307-1330)
     ow_yes = proc_oneway.contains("yes")
     dedicated = notin(wt, _SHARED_5) | (mva == "no")
     calc_ded = F.when(
@@ -87,9 +86,16 @@ def score(df: DataFrame) -> DataFrame:
             F.when(~ow_yes, proc_width / 1.6).otherwise(proc_width) - 2
         ),
     ).otherwise(proc_width)
-    calc_width = F.when(dedicated, calc_ded).otherwise(calc_shared)
-    minimum_factor = F.when(dedicated, F.lit(0.0)).otherwise(F.lit(0.25))
+    df = df.withColumns({
+        "_sc_calc_width": F.when(dedicated, calc_ded).otherwise(calc_shared),
+        "_sc_dedicated": dedicated,
+        "_sc_mva_restricted": mva_restricted,
+    })
+    calc_width = _c("_sc_calc_width")
+    mva_restricted = _c("_sc_mva_restricted")
+    minimum_factor = F.when(_c("_sc_dedicated"), F.lit(0.0)).otherwise(F.lit(0.25))
 
+    # ---- width factor curve (:1331-1348)
     cw = F.greatest(F.lit(0.001), calc_width)
     fw_raw = F.when(
         (cw <= 3) | wt.isin(_SHARED_5),
@@ -98,10 +104,18 @@ def score(df: DataFrame) -> DataFrame:
     fw_raw = F.when(
         wt.isin(_SHARED_4) & mva_restricted, fw_raw + ((1 - fw_raw) / 2)
     ).otherwise(fw_raw)
+    df = df.withColumns({"_sc_fwr": fw_raw})
     fac_width = F.when(
         _nonzero(calc_width),
-        pyround(F.greatest(minimum_factor, fw_raw), 3),
+        pyround(F.greatest(minimum_factor, _c("_sc_fwr")), 3),
     )
+
+    # ---- base index (:1292-1302)
+    base_index = _map_lookup(wt, P.BASE_INDEX_DICT)
+    base_index = F.when(
+        wt.isin(_SHARED_4) & mva_restricted,
+        _map_lookup(mva, P.MOTOR_VEHICLE_ACCESS_INDEX_DICT),
+    ).otherwise(base_index)
 
     # ---- surface factor (:1360-1365)
     fac_surface = F.coalesce(
@@ -132,7 +146,6 @@ def score(df: DataFrame) -> DataFrame:
         "fac_surface": fac_surface,
         "fac_highway": fac_highway,
         "fac_maxspeed": fac_maxspeed,
-        "_sc_mva_restricted": mva_restricted,
         "_sc_dm_maxspeed": dm_maxspeed,
     })
     base_index = _c("base_index")

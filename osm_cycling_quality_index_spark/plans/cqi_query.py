@@ -95,6 +95,38 @@ def _ways_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cqi_score_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast path: replay the committed SQL stage text (plans/cqi_sql_gen.py,
+    generated from the analyzed plan of :func:`q_cqi_score_ways_built` by
+    tools/gen_cqi_sql.py) with one ``selectExpr``/``where`` per stage.
+
+    The builder path costs ~10^4 py4j round-trips (~0.65 ms each on this
+    box) to CONSTRUCT the plan — a several-second driver-side floor per
+    invocation, independent of data volume.  The replay costs ~20 calls;
+    the analyzed plans are identical (same staging, same resolved
+    expressions — ``Expression.sql()`` is the view-persistence mechanism),
+    pinned by tests/test_round4.py: regenerated text == committed text and
+    fast-path rows == builder rows bit-for-bit."""
+    from .cqi_sql_gen import CQI_STAGES
+
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView("cqi_base_ways")
+    # ONE spark.sql call over the nested stage text: DataFrames analyze
+    # eagerly, so applying 29 selectExpr stages re-analyzes the growing
+    # plan 29 times (quadratic — measured as bad as the builder path);
+    # a single nested query is parsed and analyzed once, linearly.
+    sql = "SELECT * FROM cqi_base_ways"
+    for kind, payload in CQI_STAGES:
+        if kind == "project":
+            sql = "SELECT " + ", ".join(payload) + " FROM (" + sql + ")"
+        else:
+            sql = "SELECT * FROM (" + sql + ") WHERE " + payload
+    return spark.sql(sql)
+
+
+def q_cqi_score_ways_built(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Column-builder pipeline (conform -> classify -> derive -> score)
+    — the cited source of truth the fast path is generated from."""
     from ..operators.conform import conform_ways
     from ..operators.derive import derive_attributes
     from ..operators.scoring import score

@@ -182,3 +182,41 @@ def test_xxhash_mode_simhash_exhaustive(spark):
         spark.catalog.clearCache()
         assert got == brute, (mode, len(got), len(brute))
         assert brute  # non-vacuous
+
+
+# ---------------------------------------------------------------------------
+# cqi_score_ways generated-SQL fast path
+# ---------------------------------------------------------------------------
+
+def test_cqi_sql_gen_text_current():
+    """The committed SQL stage text (plans/cqi_sql_gen.py) regenerates
+    bit-identically from the Column-builder pipeline — i.e. nobody changed
+    conform/classify/derive/score without re-running tools/gen_cqi_sql.py."""
+    spec = importlib.util.spec_from_file_location(
+        "gen_cqi_sql", REPO / "tools" / "gen_cqi_sql.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    regenerated = mod.render(mod.generate())
+    committed = (REPO / "osm_cycling_quality_index_spark" / "plans"
+                 / "cqi_sql_gen.py").read_text()
+    assert regenerated == committed, (
+        "plans/cqi_sql_gen.py is stale — run python tools/gen_cqi_sql.py")
+
+
+def test_cqi_fast_path_bit_equal(spark):
+    """Fast path (single nested spark.sql over the committed stage text)
+    returns exactly the builder path's rows and columns."""
+    from osm_cycling_quality_index_spark.plans.cqi_query import (
+        q_cqi_score_ways, q_cqi_score_ways_built,
+    )
+
+    a = q_cqi_score_ways(spark, SF)
+    b = q_cqi_score_ways_built(spark, SF)
+    assert a.columns == b.columns
+
+    def key(r):
+        return tuple((v is None, type(v).__name__, repr(v)) for v in r)
+
+    ra = sorted(map(tuple, a.collect()), key=key)
+    rb = sorted(map(tuple, b.collect()), key=key)
+    assert ra == rb and len(ra) > 1000
