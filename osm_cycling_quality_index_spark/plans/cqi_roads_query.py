@@ -89,6 +89,27 @@ def _ways_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cqi_score_roads_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast path: one nested spark.sql over the committed stage text
+    (plans/cqi_sql_gen.py CQI_ROADS_STAGES) — same mechanism and
+    rationale as plans/cqi_query.q_cqi_score_ways; text and results are
+    pinned to :func:`q_cqi_score_roads_full_built` by tests/test_round4.py."""
+    from .cqi_sql_gen import CQI_ROADS_STAGES
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView("cqi_base_roads")
+    sql = "SELECT * FROM cqi_base_roads"
+    for kind, payload in CQI_ROADS_STAGES:
+        if kind == "project":
+            sql = "SELECT " + ", ".join(payload) + " FROM (" + sql + ")"
+        else:
+            sql = "SELECT * FROM (" + sql + ") WHERE " + payload
+    return spark.sql(sql)
+
+
+def q_cqi_score_roads_full_built(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Column-builder pipeline — the cited source of truth the fast
+    path is generated from."""
     from ..operators.conform import conform_ways
     from ..operators.derive import derive_attributes
     from ..operators.scoring import score

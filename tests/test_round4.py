@@ -204,19 +204,25 @@ def test_cqi_sql_gen_text_current():
 
 
 def test_cqi_fast_path_bit_equal(spark):
-    """Fast path (single nested spark.sql over the committed stage text)
-    returns exactly the builder path's rows and columns."""
+    """Fast paths (single nested spark.sql over the committed stage text)
+    return exactly the builder paths' rows and columns."""
     from osm_cycling_quality_index_spark.plans.cqi_query import (
         q_cqi_score_ways, q_cqi_score_ways_built,
     )
-
-    a = q_cqi_score_ways(spark, SF)
-    b = q_cqi_score_ways_built(spark, SF)
-    assert a.columns == b.columns
+    from osm_cycling_quality_index_spark.plans.cqi_roads_query import (
+        q_cqi_score_roads_full, q_cqi_score_roads_full_built,
+    )
 
     def key(r):
         return tuple((v is None, type(v).__name__, repr(v)) for v in r)
 
-    ra = sorted(map(tuple, a.collect()), key=key)
-    rb = sorted(map(tuple, b.collect()), key=key)
-    assert ra == rb and len(ra) > 1000
+    for fast, built in [
+        (q_cqi_score_ways, q_cqi_score_ways_built),
+        (q_cqi_score_roads_full, q_cqi_score_roads_full_built),
+    ]:
+        a = fast(spark, SF)
+        b = built(spark, SF)
+        assert a.columns == b.columns, fast.__module__
+        ra = sorted(map(tuple, a.collect()), key=key)
+        rb = sorted(map(tuple, b.collect()), key=key)
+        assert ra == rb and len(ra) > 100, fast.__module__
