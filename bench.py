@@ -107,6 +107,9 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "query_passes": passes,
         "ext_loadavg": loads,
         "sweep_single_pass": sweep,
+        "sweep_note": ("headline entries are min-of-2 warm; all others are "
+                       "one cold pass incl. first-use plan build — compare "
+                       "per-query across rounds, not across queries"),
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": cpus,
         "ext_loadavg_after": load_after,

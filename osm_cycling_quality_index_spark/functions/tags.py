@@ -110,9 +110,14 @@ def weakest_surface_value(arr: Column) -> Column:
     foldable array with a runtime-NULL index wrongly yields the last
     element.
     """
+    # dict.fromkeys dedupe first: SURFACE_VALUE_ORDER lists paving_stones
+    # twice (reference parameter.py duplicate, kept verbatim); .index()/
+    # array_position resolve duplicates to their FIRST occurrence, so the
+    # reversed scan must too — without the dedupe the later duplicate
+    # would outrank values between the two occurrences
     return F.coalesce(*[
         F.when(F.array_contains(arr, v), F.lit(v))
-        for v in reversed(P.SURFACE_VALUE_ORDER)
+        for v in reversed(list(dict.fromkeys(P.SURFACE_VALUE_ORDER)))
     ])
 
 

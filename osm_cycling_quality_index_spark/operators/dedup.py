@@ -451,13 +451,15 @@ def dedup_groups(
 
     ``df`` is the full corpus (so singletons keep themselves), ``pairs`` any
     near-dup pair frame (minhash_lsh_pairs / simhash_near_pairs /
-    embedding_near_dups output).  Pair endpoints absent from the corpus are
-    dropped up front (semi-join both sides): without that, a non-corpus id
-    that is a component's minimum would become a group_id no corpus row
-    carries and the group would get no keeper.  group_id is the minimum
-    member id (stable and order-free); the keeper is the group_id row
-    itself.  Output: ``(id_col, group_id, n_members, is_keeper)``, one row
-    per corpus row.
+    embedding_near_dups output).  Pair endpoints need NOT be corpus ids:
+    components are computed over the full pair graph (so two corpus rows
+    bridged only through a foreign id still collapse into one group), then
+    every component's label is REMAPPED to the minimum CORPUS member —
+    without the remap, a non-corpus id that is a component's minimum would
+    become a group_id no corpus row carries and the group would get no
+    keeper.  group_id is that corpus minimum (stable and order-free); the
+    keeper is the group_id row itself.  Output:
+    ``(id_col, group_id, n_members, is_keeper)``, one row per corpus row.
 
     Storage: the run pins one persisted frame plus the component labels'
     localCheckpoint blocks.  If ``release`` is a list, a zero-arg cleanup
@@ -465,21 +467,20 @@ def dedup_groups(
     is not reusable afterwards); otherwise the cleanup is registered for
     :func:`release_session_pinned`.
     """
-    corpus_ids = df.select(F.col(id_col).alias("_corpus_id"))
-    pairs = (
-        pairs
-        .join(corpus_ids.select(F.col("_corpus_id").alias(a)), a, "left_semi")
-        .join(corpus_ids.select(F.col("_corpus_id").alias(b)), b, "left_semi")
-    )
     cc_ids: list = []
     cc = connected_components(pairs, a, b, max_iter, release_ids=cc_ids)
-    labelled = (
+    corpus_comp = (
         df.select(F.col(id_col).alias("node"))
         .join(cc, "node", "left")
-        .select(
-            F.col("node").alias(id_col),
-            F.coalesce("component", F.col("node")).alias("group_id"),
-        )
+        .select("node", F.coalesce("component", F.col("node")).alias("_comp"))
+    )
+    # remap each component label to its minimum CORPUS member (the raw CC
+    # label may be a non-corpus pair endpoint); components with no corpus
+    # member simply vanish with the join
+    remap = corpus_comp.groupBy("_comp").agg(F.min("node").alias("group_id"))
+    labelled = (
+        corpus_comp.join(remap, "_comp")
+        .select(F.col("node").alias(id_col), "group_id")
         .persist()  # fans out to the size aggregate AND the output join
     )
     sizes = labelled.groupBy("group_id").agg(

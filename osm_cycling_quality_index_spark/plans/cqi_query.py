@@ -108,14 +108,17 @@ def q_cqi_score_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
     fast-path rows == builder rows bit-for-bit."""
     from .cqi_sql_gen import CQI_STAGES
 
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(
-        spark.sparkContext.defaultParallelism
-    ).createOrReplaceTempView("cqi_base_ways")
     # ONE spark.sql call over the nested stage text: DataFrames analyze
     # eagerly, so applying 29 selectExpr stages re-analyzes the growing
     # plan 29 times (quadratic — measured as bad as the builder path);
-    # a single nested query is parsed and analyzed once, linearly.
-    sql = "SELECT * FROM cqi_base_ways"
+    # a single nested query is parsed and analyzed once, linearly.  The
+    # base is inlined (path datasource + round-robin REPARTITION hint,
+    # same physical base as df.repartition(n)) rather than a fixed-name
+    # temp view, which would be a shared mutable binding across callers.
+    sql = (
+        f"SELECT /*+ REPARTITION({spark.sparkContext.defaultParallelism}) */ "
+        f"* FROM parquet.`{sf_dir}/lineitem.parquet`"
+    )
     for kind, payload in CQI_STAGES:
         if kind == "project":
             sql = "SELECT " + ", ".join(payload) + " FROM (" + sql + ")"

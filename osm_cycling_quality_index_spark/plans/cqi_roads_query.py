@@ -95,10 +95,10 @@ def q_cqi_score_roads_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned to :func:`q_cqi_score_roads_full_built` by tests/test_round4.py."""
     from .cqi_sql_gen import CQI_ROADS_STAGES
 
-    spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(
-        spark.sparkContext.defaultParallelism
-    ).createOrReplaceTempView("cqi_base_roads")
-    sql = "SELECT * FROM cqi_base_roads"
+    sql = (
+        f"SELECT /*+ REPARTITION({spark.sparkContext.defaultParallelism}) */ "
+        f"* FROM parquet.`{sf_dir}/orders.parquet`"
+    )
     for kind, payload in CQI_ROADS_STAGES:
         if kind == "project":
             sql = "SELECT " + ", ".join(payload) + " FROM (" + sql + ")"

@@ -62,26 +62,55 @@ def test_release_session_pinned(spark):
 
 
 def test_dedup_groups_foreign_pair_endpoints(spark):
-    """Pair endpoints absent from the corpus are dropped: a non-corpus id
-    that would be a component minimum must not become a keeper-less
-    group_id (ADVICE r3)."""
+    """Non-corpus pair endpoints neither produce keeper-less groups
+    (ADVICE r3: a foreign component minimum must not become a group_id)
+    NOR sever transitivity: corpus rows bridged only through a foreign id
+    still collapse into one group, remapped to the minimum CORPUS member."""
     from osm_cycling_quality_index_spark.operators.dedup import dedup_groups
 
     corpus = spark.createDataFrame(
         [(i,) for i in (1, 2, 3, 4, 5)], "doc_id long")
-    # 0 is NOT in the corpus but is the minimum of its would-be component
+    # 0 is NOT in the corpus, is the minimum of its component, AND bridges
+    # corpus rows 2 and 4 that were never compared directly
     pairs = spark.createDataFrame(
-        [(0, 2), (3, 4)], "doc_a long, doc_b long")
+        [(0, 2), (0, 4), (3, 4)], "doc_a long, doc_b long")
     release: list = []
     rows = {r["doc_id"]: r for r in
             dedup_groups(corpus, pairs, release=release).collect()}
     for fn in release:
         fn()
     assert {d: r["group_id"] for d, r in rows.items()} == {
-        1: 1, 2: 2, 3: 3, 4: 3, 5: 5}
+        1: 1, 2: 2, 3: 2, 4: 2, 5: 5}
     # every group has exactly one keeper, and it is a corpus row
     keepers = [d for d, r in rows.items() if r["is_keeper"]]
-    assert sorted(keepers) == [1, 2, 3, 5]
+    assert sorted(keepers) == [1, 2, 5]
+    assert rows[3]["n_members"] == 3
+
+
+def test_weakest_surface_duplicate_order_entry(spark):
+    """SURFACE_VALUE_ORDER lists paving_stones twice (reference
+    parameter.py duplicate, kept verbatim); .index()/array_position
+    resolve to the FIRST occurrence, so values between the two
+    occurrences must outrank it (r4 self-review finding)."""
+    from pyspark.sql import functions as F
+
+    from osm_cycling_quality_index_spark import params as P
+    from osm_cycling_quality_index_spark.functions.tags import (
+        weakest_surface_value,
+    )
+
+    order = P.SURFACE_VALUE_ORDER
+    assert order.count("paving_stones") == 2  # the reference's duplicate
+    first = order.index("paving_stones")
+    between = [v for v in order[first + 1:] if v != "paving_stones"
+               and order.index(v) < len(order) - 1 - order[::-1].index("paving_stones")]
+    assert between, "values exist between the duplicate occurrences"
+    df = spark.createDataFrame(
+        [(i, ["paving_stones", v]) for i, v in enumerate(between)],
+        "i long, arr array<string>")
+    got = {r["i"]: r["w"] for r in
+           df.select("i", weakest_surface_value(F.col("arr")).alias("w")).collect()}
+    assert got == dict(enumerate(between))
 
 
 # ---------------------------------------------------------------------------

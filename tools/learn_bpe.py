@@ -71,7 +71,13 @@ def validate_merges(merges: list[tuple[str, str]], words) -> None:
     sites and two passes are always exhaustive (functions/bpe.py module
     doc).  (b) Empirical: replace-chain simulation at the engine's _REPEAT
     must equal the greedy count for every training-corpus word."""
-    from osm_cycling_quality_index_spark.functions.bpe import _REPEAT
+    try:
+        from osm_cycling_quality_index_spark.functions.bpe import _REPEAT
+    except ValueError:
+        # the COMMITTED merges table tripped bpe.py's import-time guard —
+        # exactly the situation this tool exists to fix; fall back to the
+        # engine default so the stale artifact can be replaced
+        _REPEAT = 3
 
     same = [p for p in merges if p[0] == p[1]]
     if same:
