@@ -107,24 +107,12 @@ def q_cqi_score_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by tests/test_round4.py: regenerated text == committed text and
     fast-path rows == builder rows bit-for-bit."""
     from .cqi_sql_gen import CQI_STAGES
+    from .sqlgen import parquet_base_sql, replay_stages
 
-    # ONE spark.sql call over the nested stage text: DataFrames analyze
-    # eagerly, so applying 29 selectExpr stages re-analyzes the growing
-    # plan 29 times (quadratic — measured as bad as the builder path);
-    # a single nested query is parsed and analyzed once, linearly.  The
-    # base is inlined (path datasource + round-robin REPARTITION hint,
-    # same physical base as df.repartition(n)) rather than a fixed-name
-    # temp view, which would be a shared mutable binding across callers.
-    sql = (
-        f"SELECT /*+ REPARTITION({spark.sparkContext.defaultParallelism}) */ "
-        f"* FROM parquet.`{sf_dir}/lineitem.parquet`"
+    return replay_stages(
+        spark, parquet_base_sql(spark, f"{sf_dir}/lineitem.parquet"),
+        CQI_STAGES,
     )
-    for kind, payload in CQI_STAGES:
-        if kind == "project":
-            sql = "SELECT " + ", ".join(payload) + " FROM (" + sql + ")"
-        else:
-            sql = "SELECT * FROM (" + sql + ") WHERE " + payload
-    return spark.sql(sql)
 
 
 def q_cqi_score_ways_built(spark: SparkSession, sf_dir: str) -> DataFrame:

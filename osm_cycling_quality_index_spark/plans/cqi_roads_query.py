@@ -94,17 +94,12 @@ def q_cqi_score_roads_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     rationale as plans/cqi_query.q_cqi_score_ways; text and results are
     pinned to :func:`q_cqi_score_roads_full_built` by tests/test_round4.py."""
     from .cqi_sql_gen import CQI_ROADS_STAGES
+    from .sqlgen import parquet_base_sql, replay_stages
 
-    sql = (
-        f"SELECT /*+ REPARTITION({spark.sparkContext.defaultParallelism}) */ "
-        f"* FROM parquet.`{sf_dir}/orders.parquet`"
+    return replay_stages(
+        spark, parquet_base_sql(spark, f"{sf_dir}/orders.parquet"),
+        CQI_ROADS_STAGES,
     )
-    for kind, payload in CQI_ROADS_STAGES:
-        if kind == "project":
-            sql = "SELECT " + ", ".join(payload) + " FROM (" + sql + ")"
-        else:
-            sql = "SELECT * FROM (" + sql + ") WHERE " + payload
-    return spark.sql(sql)
 
 
 def q_cqi_score_roads_full_built(spark: SparkSession, sf_dir: str) -> DataFrame:
