@@ -385,28 +385,33 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # jump: adopt the label OF the label (pointer doubling) — a
         # self-join on the materialized label frame, so nothing upstream
         # recomputes.  Left join + least because a representative's label
-        # is itself; least skips the NULL of a right-side miss.
-        jumped = (
-            labels.alias("l")
-            .join(
-                labels.select(
-                    F.col("node").alias("c_node"),
-                    F.col("component").alias("c_comp"),
-                ).alias("m"),
-                F.col("l.component") == F.col("m.c_node"),
-                "left",
+        # is itself; least skips the NULL of a right-side miss.  Round 0
+        # skips it: labels are the identity there, so the jump is a no-op
+        # join (one shuffle saved per invocation).
+        if it == 0:
+            jumped = labels
+        else:
+            jumped = (
+                labels.alias("l")
+                .join(
+                    labels.select(
+                        F.col("node").alias("c_node"),
+                        F.col("component").alias("c_comp"),
+                    ).alias("m"),
+                    F.col("l.component") == F.col("m.c_node"),
+                    "left",
+                )
+                .select(
+                    F.col("l.node").alias("node"),
+                    F.least(
+                        F.col("l.component"), F.col("m.c_comp")
+                    ).alias("component"),
+                )
             )
-            .select(
-                F.col("l.node").alias("node"),
-                F.least(
-                    F.col("l.component"), F.col("m.c_comp")
-                ).alias("component"),
-            )
-        )
         # relax: min over self and neighbours (one hop)
         nbr_min = sym.join(
             jumped, sym["b"] == jumped["node"]
