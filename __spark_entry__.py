@@ -277,6 +277,48 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(d, bench, n=5)
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (operators/quality.pii_scrub) over deterministically
+    PII-augmented documents (the synth corpus carries no PII, so emails /
+    IPv4s / phone numbers are planted as pure functions of doc_id —
+    mirrored expression-for-expression in the oracle)."""
+    from osm_cycling_quality_index_spark.operators.quality import pii_scrub
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.concat(
+            F.lit(" contact user"), did.cast("string"),
+            F.lit("@ex-ample.org now"))).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.concat(
+            F.lit(" from 10.0."), (did % 256).cast("string"),
+            F.lit(".77"))).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.concat(
+            F.lit(" call +4930"), (did + 1000000).cast("string"),
+            F.lit(" ok"))).otherwise(F.lit("")),
+    )
+    return pii_scrub(d.select("doc_id", aug.alias("text")))
+
+
+def q_sample_split(spark, sf_dir):
+    """Deterministic data mixing (operators/sampling): per-source
+    stratified keep rates + hash-based train/val/test split — both pure
+    affine-hash functions of doc_id, reproducible across engines,
+    partitionings and re-runs (no RNG, no shuffle)."""
+    from osm_cycling_quality_index_spark.operators.sampling import (
+        hash_split, stratified_sample,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = stratified_sample(
+        d, {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_rate=0.125)
+    return s.select(
+        "doc_id", "source",
+        hash_split(F.col("doc_id"), train=0.8, val=0.1).alias("split"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search + near-dup
 # ---------------------------------------------------------------------------
@@ -372,6 +414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "sample_split": q_sample_split,
         "embedding_topk": q_embedding_topk,
         "ann_buckets": q_ann_buckets,
         "embedding_near_dups": q_embedding_near_dups,
@@ -408,6 +452,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": O.FINGERPRINT,
         "repetition_stats": O.REPETITION_STATS,
         "decontaminate": O.decontaminate_sql(),
+        "pii_scrub": O.pii_scrub_sql(),
+        "sample_split": O.sample_split_sql(),
         "embedding_topk": O.embedding_topk_sql(),
         "ann_buckets": O.ann_buckets_sql(),
         "embedding_near_dups": O.embedding_near_dups_sql(threshold=0.35),

@@ -123,3 +123,43 @@ def decontaminate(
             .cast("int").alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+#: patterns restricted to the RE2 <-> Java-regex common subset (character
+#: classes, \b, bounded repetition; no lookaround, no backrefs) so the
+#: Spark path and the DuckDB oracle compile them identically
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{7,15}"  # plus-prefixed international form only
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Redact emails / IPv4 addresses / international phone numbers —
+    the standard pretraining-corpus PII pass.
+
+    Counts are taken per pattern on the ORIGINAL text (the patterns are
+    mutually exclusive on real text: an IPv4 cannot end an email's
+    letters-only TLD, and the phone form requires a leading '+'), then the
+    redactions apply sequentially.  Map-only column work: three
+    regexp_counts + three regexp_replaces per row, no shuffle, no UDF.
+    Output: (id_col, n_emails, n_ips, n_phones, scrub_md5) — the md5 of
+    the scrubbed text stands in for shipping the text through the
+    comparison harness."""
+    t = F.col(text_col)
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>"),
+        PII_PHONE, "<PHONE>")
+    return df.select(
+        id_col,
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(scrub).alias("scrub_md5"),
+    )

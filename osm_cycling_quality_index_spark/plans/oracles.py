@@ -668,3 +668,54 @@ SELECT vec_id, group_id,
        CAST(vec_id = group_id AS INT) AS is_keeper
 FROM lab
 """
+
+
+def pii_scrub_sql() -> str:
+    """Mirror of operators/quality.pii_scrub over the deterministically
+    PII-augmented documents table (the synth corpus carries no PII, so the
+    query plants emails/IPs/phones as pure functions of doc_id — identical
+    expressions on both sides).  Same patterns (RE2 <-> Java common
+    subset), counts on the original text, sequential redaction, md5 of
+    the scrubbed text."""
+    from ..operators.quality import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@ex-ample.org now' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' call +4930' || CAST(doc_id + 1000000 AS VARCHAR) || ' ok' ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+      '{PII_EMAIL}', '<EMAIL>', 'g'),
+      '{PII_IPV4}', '<IP>', 'g'),
+      '{PII_PHONE}', '<PHONE>', 'g')) AS scrub_md5
+FROM aug
+"""
+
+
+def sample_split_sql(rates: dict | None = None, default_rate: float = 0.125,
+                     train: float = 0.8, val: float = 0.1) -> str:
+    """Mirror of operators/sampling.stratified_sample + hash_split: the
+    same affine-hash bucket, the same pre-floored integer thresholds."""
+    from ..operators.sampling import _K, _M
+
+    rates = rates or {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    arms = " ".join(
+        f"WHEN '{k}' THEN {int(v * _M)}" for k, v in rates.items()
+    )
+    t1, t2 = int(train * _M), int((train + val) * _M)
+    return f"""
+SELECT doc_id, source,
+  CASE WHEN b < {t1} THEN 'train' WHEN b < {t2} THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, source, (doc_id * {_K}) % {_M} AS b FROM documents
+)
+WHERE b < CASE source {arms} ELSE {int(default_rate * _M)} END
+"""

@@ -255,3 +255,61 @@ def test_cqi_fast_path_bit_equal(spark):
         ra = sorted(map(tuple, a.collect()), key=key)
         rb = sorted(map(tuple, b.collect()), key=key)
         assert ra == rb and len(ra) > 100, fast.__module__
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + deterministic sampling (round-4 additions)
+# ---------------------------------------------------------------------------
+
+def test_pii_scrub_hand_cases(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from osm_cycling_quality_index_spark.operators.quality import pii_scrub
+
+    df = spark.createDataFrame([
+        (0, "mail a@b.co and c.d+x@e-f.org end"),
+        (1, "ip 10.0.0.1 then 192.168.255.3"),
+        (2, "call +4915112345678 now"),
+        (3, "clean text with no pii at all"),
+        (4, "a@b.co 10.0.0.1 +12345678 all three"),
+        (5, None),
+    ], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (rows[0]["n_emails"], rows[0]["n_ips"], rows[0]["n_phones"]) == (2, 0, 0)
+    assert (rows[1]["n_emails"], rows[1]["n_ips"], rows[1]["n_phones"]) == (0, 2, 0)
+    assert (rows[2]["n_emails"], rows[2]["n_ips"], rows[2]["n_phones"]) == (0, 0, 1)
+    assert (rows[3]["n_emails"], rows[3]["n_ips"], rows[3]["n_phones"]) == (0, 0, 0)
+    assert (rows[4]["n_emails"], rows[4]["n_ips"], rows[4]["n_phones"]) == (1, 1, 1)
+    assert rows[5]["scrub_md5"] is None
+    # the scrub really removed the PII: same md5 as the hand-redacted text
+    import hashlib
+    want = hashlib.md5(b"<EMAIL> <IP> <PHONE> all three").hexdigest()
+    assert rows[4]["scrub_md5"] == want
+
+
+def test_sampling_deterministic_and_exhaustive(spark):
+    from pyspark.sql import functions as F
+
+    from osm_cycling_quality_index_spark.operators.sampling import (
+        hash_split, stratified_sample,
+    )
+
+    d = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    rates = {"s0": 1.0, "s1": 0.5, "s2": 0.0}
+    a = {r["doc_id"] for r in stratified_sample(d, rates).collect()}
+    # identical under a different physical layout (no RNG, no layout term)
+    b = {r["doc_id"] for r in
+         stratified_sample(d.repartition(7), rates).collect()}
+    assert a == b
+    per = {s: sum(1 for i in a if i % 3 == int(s[1])) for s in rates}
+    assert per["s0"] == 667 and per["s2"] == 0   # rate 1.0 keeps all, 0.0 none
+    assert 233 <= per["s1"] <= 433               # ~0.5 of 666
+    # split: exhaustive, disjoint, stable, roughly proportioned
+    sp = d.select("doc_id", hash_split(F.col("doc_id")).alias("split"))
+    counts = {r["split"]: r["n"] for r in
+              sp.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    assert counts["train"] > 1900 and set(counts) <= {"train", "val", "test"}
