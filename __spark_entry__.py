@@ -319,6 +319,44 @@ def q_sample_split(spark, sf_dir):
     )
 
 
+def q_corpus_curate(spark, sf_dir):
+    """End-to-end corpus curation — the composition a production
+    pretraining pipeline actually runs, as ONE declarative plan:
+    near-dup keepers (minhash-LSH pairs -> connected components -> one
+    keeper per cluster) ∩ repetition-quality pass (dup_word_frac <= 0.6)
+    ∩ not benchmark-contaminated, then per-source stratified sampling and
+    a hash train/val/test split.  Every stage is an operator already
+    oracled on its own; this row proves they compose (and the oracle
+    composes their SQL mirrors the same way)."""
+    from osm_cycling_quality_index_spark.operators.quality import (
+        decontaminate, repetition_stats,
+    )
+    from osm_cycling_quality_index_spark.operators.sampling import (
+        hash_split, stratified_sample,
+    )
+
+    d = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(d)
+    groups = dedup.dedup_groups(d, pairs, id_col="doc_id", a="doc_a", b="doc_b")
+    keep = groups.where(F.col("is_keeper") == 1).select("doc_id")
+    rep = repetition_stats(d).where(
+        F.col("dup_word_frac") <= 0.6).select("doc_id")
+    dec = decontaminate(d, d.where(F.col("doc_id") % 97 == 0), n=5).where(
+        F.col("contaminated") == 0).select("doc_id")
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = (
+        full.join(keep, "doc_id", "left_semi")
+        .join(rep, "doc_id", "left_semi")
+        .join(dec, "doc_id", "left_semi")
+    )
+    s = stratified_sample(
+        kept, {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_rate=0.5)
+    return s.select(
+        "doc_id", "source",
+        hash_split(F.col("doc_id"), train=0.9, val=0.05).alias("split"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search + near-dup
 # ---------------------------------------------------------------------------
@@ -416,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "sample_split": q_sample_split,
+        "corpus_curate": q_corpus_curate,
         "embedding_topk": q_embedding_topk,
         "ann_buckets": q_ann_buckets,
         "embedding_near_dups": q_embedding_near_dups,
@@ -454,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": O.decontaminate_sql(),
         "pii_scrub": O.pii_scrub_sql(),
         "sample_split": O.sample_split_sql(),
+        "corpus_curate": O.corpus_curate_sql(),
         "embedding_topk": O.embedding_topk_sql(),
         "ann_buckets": O.ann_buckets_sql(),
         "embedding_near_dups": O.embedding_near_dups_sql(threshold=0.35),

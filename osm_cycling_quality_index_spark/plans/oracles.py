@@ -719,3 +719,37 @@ FROM (
 )
 WHERE b < CASE source {arms} ELSE {int(default_rate * _M)} END
 """
+
+
+def corpus_curate_sql(rep_max: float = 0.6, train: float = 0.9,
+                      val: float = 0.05, default_rate: float = 0.5) -> str:
+    """Mirror of the end-to-end curation composition: reuses the
+    component mirrors verbatim (dedup_groups_text_sql / REPETITION_STATS /
+    decontaminate_sql) as CTEs, then the same stratified-sample + split
+    arithmetic as sample_split_sql — composition on both sides."""
+    from ..operators.sampling import _K, _M
+
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    arms = " ".join(
+        f"WHEN '{k}' THEN {int(v * _M)}" for k, v in rates.items()
+    )
+    t1, t2 = int(train * _M), int((train + val) * _M)
+    return f"""
+WITH
+grp AS ({dedup_groups_text_sql()}),
+rep AS ({REPETITION_STATS}),
+dec AS ({decontaminate_sql()}),
+kept AS (
+  SELECT d.doc_id, d.source, (d.doc_id * {_K}) % {_M} AS b
+  FROM documents d
+  JOIN grp USING (doc_id)
+  JOIN rep USING (doc_id)
+  JOIN dec USING (doc_id)
+  WHERE grp.is_keeper = 1 AND rep.dup_word_frac <= {rep_max}
+    AND dec.contaminated = 0
+)
+SELECT doc_id, source,
+  CASE WHEN b < {t1} THEN 'train' WHEN b < {t2} THEN 'val' ELSE 'test' END AS split
+FROM kept
+WHERE b < CASE source {arms} ELSE {int(default_rate * _M)} END
+"""
