@@ -335,7 +335,10 @@ def q_corpus_curate(spark, sf_dir):
         hash_split, stratified_sample,
     )
 
-    d = _docs(spark, sf_dir)
+    # the docs scan fans out to four consumers (pair pipeline, group
+    # resolver, repetition stats, decontamination x2) — persist at the
+    # boundary, per the repo fan-out rule
+    d = _docs(spark, sf_dir).persist()
     pairs = dedup.minhash_lsh_pairs(d)
     groups = dedup.dedup_groups(d, pairs, id_col="doc_id", a="doc_a", b="doc_b")
     keep = groups.where(F.col("is_keeper") == 1).select("doc_id")
