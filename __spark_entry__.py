@@ -272,7 +272,9 @@ def q_decontaminate(spark, sf_dir):
     linear, benchmark shingle set broadcast."""
     from osm_cycling_quality_index_spark.operators.quality import decontaminate
 
-    d = _docs(spark, sf_dir)
+    # three consumers of the docs scan (corpus shingles, benchmark
+    # shingles, the corpus-side output join) — persist at the fan-out
+    d = _docs(spark, sf_dir).persist()
     bench = d.where(F.col("doc_id") % 97 == 0)
     return decontaminate(d, bench, n=5)
 
@@ -402,7 +404,9 @@ def q_dedup_groups_text(spark, sf_dir):
     near-dup pairs on documents -> connected components -> one keeper per
     cluster (same resolver as the embedding variant, different pair
     pipeline feeding it)."""
-    d = _docs(spark, sf_dir)
+    # two consumers of the docs scan (pair pipeline + group-resolver
+    # corpus side) — persist at the fan-out
+    d = _docs(spark, sf_dir).persist()
     pairs = dedup.minhash_lsh_pairs(d)
     return dedup.dedup_groups(d, pairs, id_col="doc_id", a="doc_a", b="doc_b")
 
