@@ -14,6 +14,9 @@ production path at 100 TB scale where a vocabulary join is unnecessary).
 
 from __future__ import annotations
 
+import os as _os
+import time as _time
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -21,11 +24,23 @@ _P = 2147483647  # Mersenne prime 2^31-1 for the affine hash family
 
 #: localCheckpoint RDD ids pinned by connected_components calls whose caller
 #: did not pass a ``release_ids`` list (plus cleanup callables from
-#: dedup_groups).  Neither DataFrame.unpersist, Python GC nor
-#: catalog.clearCache frees a localCheckpoint (verified empirically, see
-#: connected_components docstring) — a long-lived session that runs many
-#: dedup passes calls :func:`release_session_pinned` between them.
+#: dedup_groups and other operators with session-lifetime state).  Neither
+#: DataFrame.unpersist, Python GC nor catalog.clearCache frees a
+#: localCheckpoint (verified empirically, see connected_components
+#: docstring) — a long-lived session that runs many dedup passes calls
+#: :func:`release_session_pinned` between them.  Entries are
+#: ``(applicationId, rdd_id_or_callable)``: raw JVM RDD ids are only
+#: meaningful within the SparkContext that created them, so a stale entry
+#: from a stopped-and-recreated session must never unpersist a colliding id
+#: of the new context.
 _SESSION_PINNED: list = []
+
+
+def pin_session(spark, item) -> None:
+    """Register an RDD id (int) or a zero-arg cleanup callable for
+    :func:`release_session_pinned`, tagged with the owning context's
+    applicationId."""
+    _SESSION_PINNED.append((spark.sparkContext.applicationId, item))
 
 
 def release_checkpoint_ids(spark, ids) -> None:
@@ -40,11 +55,16 @@ def release_checkpoint_ids(spark, ids) -> None:
 
 
 def release_session_pinned(spark) -> None:
-    """Free every checkpoint block / persist pinned by prior
-    connected_components / dedup_groups calls in this session (see
-    :data:`_SESSION_PINNED`).  Safe to call between queries; the frames
-    those calls returned must no longer be in use."""
-    for item in _SESSION_PINNED:
+    """Free every checkpoint block / persist / broadcast pinned by prior
+    operator calls in this session (see :data:`_SESSION_PINNED`).  Safe to
+    call between queries; the frames those calls returned must no longer be
+    in use.  Entries owned by a different (stopped) SparkContext are
+    discarded without touching the current context — RDD ids restart from 0
+    in a new context, so acting on them would unpersist an unrelated RDD."""
+    cur = spark.sparkContext.applicationId
+    for app_id, item in _SESSION_PINNED:
+        if app_id != cur:
+            continue
         if callable(item):
             item()
         else:
@@ -351,10 +371,15 @@ def connected_components(
     """
     sc = edges.sparkSession.sparkContext
 
-    def _ckpt(df):
-        """localCheckpoint df; return (checkpointed df, ids created)."""
+    def _ckpt(df, eager=True):
+        """localCheckpoint df; return (checkpointed df, ids created).
+
+        ``eager=False`` defers materialization to the frame's first action —
+        the loop uses it to fold the convergence witness into the
+        materialization job (the persist mark registers the RDD id
+        immediately either way, so the registry diff is unaffected)."""
         before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-        out = df.localCheckpoint()
+        out = df.localCheckpoint(eager=eager)
         created = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
         return out, created
 
@@ -385,15 +410,21 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    comp_type = labels.schema["component"].dataType
     for it in range(max_iter):
         # jump: adopt the label OF the label (pointer doubling) — a
         # self-join on the materialized label frame, so nothing upstream
         # recomputes.  Left join + least because a representative's label
         # is itself; least skips the NULL of a right-side miss.  Round 0
         # skips it: labels are the identity there, so the jump is a no-op
-        # join (one shuffle saved per invocation).
+        # join (one shuffle saved per invocation).  Each branch also
+        # carries the node's PRE-ROUND label as ``_old`` (null on the
+        # neighbour branch), so the post-aggregate frame can decide
+        # convergence without a second join-against-previous job.
         if it == 0:
-            jumped = labels
+            jumped = labels.select(
+                "node", "component", F.col("component").alias("_old")
+            )
         else:
             jumped = (
                 labels.alias("l")
@@ -410,39 +441,50 @@ def connected_components(
                     F.least(
                         F.col("l.component"), F.col("m.c_comp")
                     ).alias("component"),
+                    F.col("l.component").alias("_old"),
                 )
             )
         # relax: min over self and neighbours (one hop)
         nbr_min = sym.join(
             jumped, sym["b"] == jumped["node"]
-        ).select(F.col("a").alias("node"), "component")
-        # materialize AND truncate lineage
+        ).select(
+            F.col("a").alias("node"), "component",
+            F.lit(None).cast(comp_type).alias("_old"),
+        )
+        # materialize AND truncate lineage; exactly one non-null _old per
+        # node (the self branch), so max() recovers it, and labels only
+        # ever decrease, so "min < old somewhere" == not converged.  The
+        # witness is carried as a column and reduced by the SAME action
+        # that materializes the lazy checkpoint — one job per round where
+        # the eager-checkpoint + join/count shape cost two (at small scale
+        # the per-round fixed overhead dominated the whole query).
         new, new_ids = _ckpt(
-            jumped.select("node", "component")
-            .union(nbr_min)
+            jumped.union(nbr_min)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                (F.min("component") < F.max("_old")).alias("_changed"),
+            ),
+            eager=False,
         )
-        # labels only ever decrease, so "any row changed" == not converged;
-        # limit(1) stops the scan at the first witness
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        _t0 = _time.time()
+        changed = new.agg(F.max("_changed")).first()[0]
+        if _os.environ.get("CC_DEBUG"):
+            print(f"[cc] round {it}: {_time.time()-_t0:.2f}s changed={changed}", flush=True)
         # the superseded round's blocks are only safe to drop AFTER the
-        # convergence count that read them
+        # action that read them
         _drop(label_ids)
         labels, label_ids = new, new_ids
-        if changed == 0:
+        if not changed:
             break
     sym.unpersist()
-    (release_ids if release_ids is not None else _SESSION_PINNED).extend(
-        label_ids
-    )
-    return labels
+    pinned = release_ids if release_ids is not None else None
+    if pinned is not None:
+        pinned.extend(label_ids)
+    else:
+        for rid in label_ids:
+            pin_session(edges.sparkSession, rid)
+    return labels.select("node", "component")
 
 
 def dedup_groups(
@@ -496,7 +538,10 @@ def dedup_groups(
         frame.unpersist()
         release_checkpoint_ids(spark, ids)
 
-    (release if release is not None else _SESSION_PINNED).append(_cleanup)
+    if release is not None:
+        release.append(_cleanup)
+    else:
+        pin_session(df.sparkSession, _cleanup)
     return (
         labelled.join(sizes, "group_id")
         .select(
