@@ -363,6 +363,57 @@ def q_corpus_curate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# images: pHash near-dup (third dedup modality after text + embeddings)
+# ---------------------------------------------------------------------------
+
+def _images_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image table (image_id, phash) synthesized deterministically from
+    customer, mirroring the input_hint's ``phash:int64`` column: a 62-bit
+    cluster base (image_id % 256 — the "same photo" group) XOR up to 7
+    single-bit flips at id-derived positions ("re-encode noise"), so
+    same-cluster members sit at small controlled hamming distances and
+    cross-cluster hashes are ~31 bits apart.  POWER(2, p) is exact in IEEE
+    double for p <= 62, so the BIGINT cast matches DuckDB bit-for-bit.  (On
+    real data this column comes from imaging/phash.py over the decoded
+    pixels; the synthesized variant is what makes the query oracle-able.)"""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cl = k % 256
+    ph = ((cl * 2654435761) % F.lit(1 << 30)) * F.lit(1 << 32) \
+        + (cl * 40503 + 17) % F.lit(1 << 31)
+    for i in range(7):
+        bit = F.pow(F.lit(2.0), ((k * (7 + 6 * i)) % 62).cast("double")).cast("long")
+        ph = ph.bitwiseXOR(F.when(k % 8 > i, bit).otherwise(F.lit(0)))
+    return c.select(k.alias("image_id"), ph.alias("phash"))
+
+
+def q_phash_near_dups(spark, sf_dir):
+    """Image near-duplicate pairs by pHash hamming distance
+    (dedup.hamming_near_pairs): block-pigeonhole candidate generation over
+    7 disjoint bit-blocks (an equi-join, never all-pairs), exact
+    bit_count(xor) verify at hamming <= 6."""
+    img = _images_phash(spark, sf_dir)
+    return dedup.hamming_near_pairs(
+        img, "image_id", "phash", bits=64, max_hamming=6,
+        out_a="img_a", out_b="img_b",
+    )
+
+
+def q_dedup_groups_images(spark, sf_dir):
+    """Group resolution composed with the IMAGE pair source: pHash-hamming
+    near-dup pairs -> connected components -> one keeper per cluster (same
+    resolver as the text and embedding variants)."""
+    # the image frame feeds both block-join sides and the resolver's corpus
+    # side — persist at the fan-out, per the repo rule
+    img = _images_phash(spark, sf_dir).persist()
+    pairs = dedup.hamming_near_pairs(
+        img, "image_id", "phash", bits=64, max_hamming=6,
+        out_a="img_a", out_b="img_b",
+    )
+    return dedup.dedup_groups(img, pairs, id_col="image_id", a="img_a", b="img_b")
+
+
+# ---------------------------------------------------------------------------
 # embeddings: similarity search + near-dup
 # ---------------------------------------------------------------------------
 
@@ -467,6 +518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_groups": q_dedup_groups,
         "dedup_groups_text": q_dedup_groups_text,
+        "phash_near_dups": q_phash_near_dups,
+        "dedup_groups_images": q_dedup_groups_images,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
     }
@@ -506,6 +559,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": O.embedding_near_dups_sql(threshold=0.35),
         "dedup_groups": O.dedup_groups_sql(threshold=0.3),
         "dedup_groups_text": O.dedup_groups_text_sql(),
+        "phash_near_dups": O.phash_near_dups_sql(),
+        "dedup_groups_images": O.dedup_groups_images_sql(),
         # the LSH approximation is deterministic (fixed hyperplanes), so it
         # mirrors exactly; recall vs brute force is gated in pytest
         "ann_lsh_topk": O.ann_lsh_topk_sql(),

@@ -296,39 +296,62 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text",
     return agg.select("doc_id", out.alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, bits: int = 32, max_hamming: int = 3,
-                       text_col: str = "text", mode: str = "dictionary") -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, candidates bucketed on
-    bit-blocks (pigeonhole: distance <= max_hamming implies at least one of
-    max_hamming+1 blocks is identical).  Output: (doc_a, doc_b, hamming)."""
+def hamming_near_pairs(
+    sig: DataFrame, id_col: str = "doc_id", hash_col: str = "simhash",
+    bits: int = 32, max_hamming: int = 3,
+    out_a: str = "doc_a", out_b: str = "doc_b",
+) -> DataFrame:
+    """Near-dup pairs over ANY precomputed <=64-bit signature column
+    (simhash, image pHash, ...) by hamming distance.
+
+    Candidate generation buckets on max_hamming+1 disjoint bit-blocks that
+    COVER all ``bits`` positions (the last block absorbs the remainder when
+    the division isn't even), so by pigeonhole distance <= max_hamming
+    implies at least one block is identical — candidates come from an
+    equi-join on (block, block_val), never an all-pairs comparison; the
+    exact ``bit_count(xor)`` verify then makes the result independent of
+    the blocking scheme.  Arithmetic shiftright sign-extension on bit-63
+    signatures is masked off, so full 64-bit hashes are safe.  Output:
+    ``(out_a, out_b, hamming)`` with out_a < out_b.
+    """
     n_blocks = max_hamming + 1
     block_bits = bits // n_blocks
-    # the signature frame feeds both sides of the block self-join
-    sh = simhash(df, bits, text_col, mode).persist()
-    blocks = sh.select(
-        "doc_id", "simhash",
+    widths = [block_bits] * (n_blocks - 1) + [bits - block_bits * (n_blocks - 1)]
+    h = F.col(hash_col)
+    blocks = sig.select(
+        id_col, hash_col,
         F.posexplode(
             F.array(*[
-                F.shiftright(F.col("simhash"), i * block_bits)
-                .bitwiseAND(F.lit((1 << block_bits) - 1))
-                for i in range(n_blocks)
+                F.shiftright(h, i * block_bits)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                for i, w in enumerate(widths)
             ])
         ).alias("block", "block_val"),
     )
-    a = blocks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "block", "block_val")
-    b = blocks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "block", "block_val")
+    a = blocks.select(F.col(id_col).alias(out_a), h.alias("sh_a"), "block", "block_val")
+    b = blocks.select(F.col(id_col).alias(out_b), h.alias("sh_b"), "block", "block_val")
     cand = (
         a.join(b, ["block", "block_val"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .where(F.col(out_a) < F.col(out_b))
+        .select(out_a, out_b, "sh_a", "sh_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select(out_a, out_b, "hamming")
     )
+
+
+def simhash_near_pairs(df: DataFrame, bits: int = 32, max_hamming: int = 3,
+                       text_col: str = "text", mode: str = "dictionary") -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance — the generic
+    :func:`hamming_near_pairs` blocking over :func:`simhash` signatures.
+    Output: (doc_a, doc_b, hamming)."""
+    # the signature frame feeds both sides of the block self-join
+    sh = simhash(df, bits, text_col, mode).persist()
+    return hamming_near_pairs(sh, "doc_id", "simhash", bits, max_hamming)
 
 
 def connected_components(

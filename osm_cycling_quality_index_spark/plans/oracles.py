@@ -753,3 +753,67 @@ SELECT doc_id, source,
 FROM kept
 WHERE b < CASE source {arms} ELSE {int(default_rate * _M)} END
 """
+
+
+# ---------------------------------------------------------------------------
+# image pHash near-dups (the last dedup modality: text / embeddings / images)
+# ---------------------------------------------------------------------------
+
+def _img_phash_sql() -> str:
+    """DuckDB mirror of __spark_entry__._images_phash: a deterministic
+    62-bit pHash per customer-derived image — cluster base (image_id % 256)
+    XOR up to 7 single-bit flips at positions derived from the id.  POWER(2,
+    p) is exact in IEEE double for any p <= 62, so the BIGINT cast is
+    bit-exact on both engines; the xor fold order matches the Spark chain."""
+    expr = ("((((c_custkey % 256) * 2654435761) % 1073741824) * 4294967296"
+            " + ((c_custkey % 256) * 40503 + 17) % 2147483648)")
+    for i in range(7):
+        bit = (f"CASE WHEN c_custkey % 8 > {i} THEN "
+               f"CAST(POWER(2, (c_custkey * {7 + 6 * i}) % 62) AS BIGINT) "
+               f"ELSE 0 END")
+        expr = f"xor({expr}, {bit})"
+    return f"img AS (SELECT c_custkey AS image_id, {expr} AS phash FROM customer)"
+
+
+def phash_near_dups_sql(max_hamming: int = 6) -> str:
+    """Brute-force mirror of hamming_near_pairs over the image pHashes:
+    the block-pigeonhole candidate generation is lossless (distance <=
+    max_hamming implies a shared block), so the exact cross-join predicate
+    IS the operator's semantics."""
+    return f"""
+WITH {_img_phash_sql()}
+SELECT a.image_id AS img_a, b.image_id AS img_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM img a JOIN img b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+"""
+
+
+def dedup_groups_images_sql(max_hamming: int = 6) -> str:
+    """Mirror of dedup_groups over pHash-hamming pairs on the synthesized
+    image table — the same recursive-CTE transitive closure as the text and
+    embedding variants, closing the third dedup modality."""
+    return f"""
+WITH RECURSIVE
+{_img_phash_sql()},
+pairs AS (
+  SELECT a.image_id AS img_a, b.image_id AS img_b
+  FROM img a JOIN img b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+),
+edges AS (
+  SELECT img_a AS src, img_b AS dst FROM pairs
+  UNION
+  SELECT img_b, img_a FROM pairs
+),
+walk(node, lbl) AS (
+  SELECT image_id, image_id FROM img
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+),
+lab AS (SELECT node AS image_id, MIN(lbl) AS group_id FROM walk GROUP BY node)
+SELECT image_id, group_id,
+       CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS n_members,
+       CAST(image_id = group_id AS INT) AS is_keeper
+FROM lab
+"""

@@ -1,0 +1,105 @@
+"""Round-5 tests: generic hamming_near_pairs exhaustiveness (pHash image
+dedup modality), BPE token sequences, pip_join shuffle-regime parity,
+sampling id-ceiling, pii count semantics."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+_M64 = (1 << 64) - 1
+
+
+def _brute_pairs(rows, max_hamming):
+    """All (a, b, hamming) with a < b and popcount(xor) <= max_hamming,
+    two's-complement 64-bit like Spark's xor on longs."""
+    out = set()
+    for i, (ida, ha) in enumerate(rows):
+        for idb, hb in rows[i + 1:]:
+            a, b = (ida, idb) if ida < idb else (idb, ida)
+            d = bin((ha ^ hb) & _M64).count("1")
+            if d <= max_hamming:
+                out.add((a, b, d))
+    return out
+
+
+def _signed(h):
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+@pytest.mark.parametrize("bits,max_hamming", [(64, 6), (64, 3), (32, 3)])
+def test_hamming_near_pairs_exhaustive_vs_brute(spark, bits, max_hamming):
+    """The block-pigeonhole candidate generation loses NO pair that the
+    exact predicate admits — including signatures with bit 63 set (where
+    arithmetic shiftright sign-extends and the block mask must strip the
+    fill) and uneven block widths (64 bits over 7 blocks)."""
+    from osm_cycling_quality_index_spark.operators.dedup import (
+        hamming_near_pairs,
+    )
+
+    mask = (1 << bits) - 1
+    rows = []
+    for i in range(60):
+        cl = i % 8
+        base = (cl * 0x9E3779B1 * 2654435761) & mask
+        if bits == 64 and cl % 2 == 0:
+            base |= 1 << 63  # force negative longs through the block path
+        h = base
+        for j in range(i % 5):
+            h ^= 1 << ((i * (11 + 3 * j)) % bits)
+        rows.append((i, h))
+    sdf = spark.createDataFrame(
+        [(i, _signed(h)) for i, h in rows], "id BIGINT, h BIGINT"
+    )
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in hamming_near_pairs(
+            sdf, "id", "h", bits=bits, max_hamming=max_hamming,
+            out_a="a", out_b="b",
+        ).collect()
+    }
+    assert got == _brute_pairs(rows, max_hamming)
+
+
+def test_phash_near_dups_matches_brute_force(spark):
+    """The driver query's pHash pairs at sf0.01 (the correctness-gate
+    scale; sf0.001's 150 ids over 256 clusters are all singletons), vs a
+    literal brute-force cross-join on the same synthesized table."""
+    import __spark_entry__ as E
+
+    img = E._images_phash(spark, SF01)
+    rows = [(r.image_id, r.phash & _M64) for r in img.collect()]
+    got = {
+        (r.img_a, r.img_b, r.hamming)
+        for r in E.q_phash_near_dups(spark, SF01).collect()
+    }
+    assert got == _brute_pairs(rows, 6)
+    assert got, "fixture must produce at least one near-dup pair"
+
+
+def test_dedup_groups_images_collapses_clusters(spark):
+    """Transitive pHash chains collapse into one group per component and
+    every group's keeper is its minimum image_id."""
+    import __spark_entry__ as E
+    from osm_cycling_quality_index_spark.operators.dedup import (
+        release_session_pinned,
+    )
+
+    out = E.q_dedup_groups_images(spark, SF01).collect()
+    spark.catalog.clearCache()
+    release_session_pinned(spark)
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.group_id, []).append(r)
+    for gid, members in by_group.items():
+        assert gid == min(m.image_id for m in members)
+        keepers = [m for m in members if m.is_keeper == 1]
+        assert len(keepers) == 1 and keepers[0].image_id == gid
+        assert all(m.n_members == len(members) for m in members)
+    assert any(len(m) > 1 for m in by_group.values()), "need non-trivial groups"
