@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from osm_cycling_quality_index_spark.functions import text as T
 from osm_cycling_quality_index_spark.functions.bpe import (
     bpe_query_sql as _bpe_query_sql,
+    bpe_vocab_sql as _bpe_vocab_sql,
 )
 from osm_cycling_quality_index_spark.operators import ann, dedup
 from osm_cycling_quality_index_spark.plans import oracles as O
@@ -249,6 +250,25 @@ def q_bpe_tokens(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     return d.select("doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+def q_bpe_vocab(spark, sf_dir):
+    """Corpus BPE vocabulary histogram over the subword SEQUENCES
+    (functions/bpe.bpe_pieces — the split-to-array step the replace-chain
+    string already contains): per piece, total occurrences and distinct
+    docs.  This is the output a tokenizing stage actually ships; per-doc
+    token ids are one broadcast vocab-join away from the same array."""
+    from osm_cycling_quality_index_spark.functions.bpe import bpe_pieces
+
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.explode(bpe_pieces(F.col("text"))).alias("piece"))
+        .groupBy("piece")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
 
 
 def q_fingerprint(spark, sf_dir):
@@ -507,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "text_stats": q_text_stats,
         "bpe_token_counts": q_bpe_tokens,
+        "bpe_vocab_counts": q_bpe_vocab,
         "doc_fingerprint": q_fingerprint,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
@@ -548,6 +569,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": O.simhash_sql(),
         "text_stats": O.text_stats_sql(),
         "bpe_token_counts": _bpe_query_sql(),
+        "bpe_vocab_counts": _bpe_vocab_sql(),
         "doc_fingerprint": O.FINGERPRINT,
         "repetition_stats": O.REPETITION_STATS,
         "decontaminate": O.decontaminate_sql(),

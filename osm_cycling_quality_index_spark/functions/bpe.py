@@ -67,9 +67,9 @@ _REPEAT = 3
 _WORD_MARK = "|"
 
 
-def bpe_token_count(text: Column) -> Column:
-    """Number of BPE subword tokens in ``text`` (whole document), as a pure
-    JVM-side expression chain — no UDF."""
+def _symbol_chain(text: Column) -> Column:
+    """The fully-merged symbol string ``" p1 p2 ... pn "`` (word boundaries
+    as the ``|`` mark), shared by the count and the piece-sequence paths."""
     s = F.replace(F.lower(text), F.lit(" "), F.lit(_WORD_MARK))
     # (?s): dot matches \n too, so newline-bearing text spaces out the same
     # way in Spark (Java regex) and DuckDB (RE2) — and as the fast twin
@@ -77,6 +77,13 @@ def bpe_token_count(text: Column) -> Column:
     for a, b in MERGES:
         for _ in range(_REPEAT):
             s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    return s
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Number of BPE subword tokens in ``text`` (whole document), as a pure
+    JVM-side expression chain — no UDF."""
+    s = _symbol_chain(text)
     # tokens = pieces - word_marks; with s = " p1 p2 ... pn " the length
     # terms cancel to: len(s without marks) - len(s without spaces) - 1
     # (two uses of the chain instead of four)
@@ -87,15 +94,27 @@ def bpe_token_count(text: Column) -> Column:
     ).cast("int")
 
 
-def bpe_query_sql(table: str = "documents", id_col: str = "doc_id",
-                  expr: str = "text") -> str:
-    """DuckDB mirror of :func:`bpe_token_count` — the same replace chain,
-    same rule order, same repeat count, so equality is by construction.
+def bpe_pieces(text: Column) -> Column:
+    """The BPE subword SEQUENCE as ``array<string>`` — the output a
+    tokenizing pipeline actually ships (token ids are then one broadcast
+    vocab-join away).  The chained symbol string already contains the
+    pieces; splitting on the separator and dropping word marks (and the
+    empty piece an empty document leaves behind) recovers them in order.
+    array_remove keeps the projection inside whole-stage codegen (no
+    higher-order filter)."""
+    s = _symbol_chain(text)
+    return F.array_remove(
+        F.array_remove(F.split(F.trim(s), " "), _WORD_MARK), ""
+    )
 
-    Returns a full ``SELECT {id_col}, n_bpe_tokens`` query: DuckDB binds
-    expressions with a recursion limit of 128, so the 3x64 replace chain is
-    chunked across nested subqueries (~24 replaces deep each) instead of
-    one nested scalar expression."""
+
+def _chain_sql(table: str = "documents", id_col: str = "doc_id",
+               expr: str = "text") -> str:
+    """DuckDB mirror of :func:`_symbol_chain` as a ``({id_col}, s)`` query —
+    the same replace chain, same rule order, same repeat count, so equality
+    is by construction.  DuckDB binds expressions with a recursion limit of
+    128, so the 3x64 replace chain is chunked across nested subqueries
+    (~24 replaces deep each) instead of one nested scalar expression."""
     steps = [(f" {a} {b} ", f" {a}{b} ") for a, b in MERGES
              for _ in range(_REPEAT)]
     sql = (
@@ -107,11 +126,34 @@ def bpe_query_sql(table: str = "documents", id_col: str = "doc_id",
         for pat, rep in steps[i:i + 24]:
             s = f"replace({s}, '{pat}', '{rep}')"
         sql = f"SELECT {id_col}, {s} AS s FROM ({sql})"
+    return sql
+
+
+def bpe_query_sql(table: str = "documents", id_col: str = "doc_id",
+                  expr: str = "text") -> str:
+    """Full ``SELECT {id_col}, n_bpe_tokens`` DuckDB mirror of
+    :func:`bpe_token_count`."""
     return (
         f"SELECT {id_col}, CAST(length(replace(s, '{_WORD_MARK}', '')) "
         f"- length(replace(s, ' ', '')) - 1 AS INT) AS n_bpe_tokens "
-        f"FROM ({sql})"
+        f"FROM ({_chain_sql(table, id_col, expr)})"
     )
+
+
+def bpe_vocab_sql(table: str = "documents", id_col: str = "doc_id",
+                  expr: str = "text") -> str:
+    """DuckDB mirror of the corpus vocabulary histogram over
+    :func:`bpe_pieces`: per piece, total occurrences and distinct docs."""
+    return f"""
+SELECT piece, COUNT(*) AS n_tokens, COUNT(DISTINCT {id_col}) AS n_docs
+FROM (
+  SELECT {id_col},
+         UNNEST(list_filter(string_split(trim(s), ' '),
+                            x -> x <> '{_WORD_MARK}' AND x <> '')) AS piece
+  FROM ({_chain_sql(table, id_col, expr)})
+)
+GROUP BY piece
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -103,3 +103,34 @@ def test_dedup_groups_images_collapses_clusters(spark):
         assert len(keepers) == 1 and keepers[0].image_id == gid
         assert all(m.n_members == len(members) for m in members)
     assert any(len(m) > 1 for m in by_group.values()), "need non-trivial groups"
+
+
+def test_bpe_pieces_equal_greedy_sequences(spark):
+    """The replace-chain piece ARRAYS (functions/bpe.bpe_pieces) equal the
+    classic greedy encoder's per-word concatenation for every sf0.001 doc
+    plus the boundary-semantics edge inputs (newline, tab, literal '|',
+    empty, NULL)."""
+    from osm_cycling_quality_index_spark.functions.bpe import (
+        _WORD_MARK, bpe_encode_word, bpe_pieces,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [(90001, "line one\nline two"), (90002, "tab\tsep"),
+         (90003, "pipe|mark here"), (90004, ""), (90005, None)],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = docs.unionByName(edge).select(
+        "doc_id", "text", bpe_pieces(F.col("text")).alias("pieces")
+    ).collect()
+    assert len(rows) > 100
+    for r in rows:
+        if r.text is None:
+            assert r.pieces is None
+            continue
+        want = []
+        for w in r.text.lower().replace(_WORD_MARK, " ").split(" "):
+            want.extend(bpe_encode_word(w))
+        assert r.pieces == want, f"doc {r.doc_id}: {r.pieces[:8]} vs {want[:8]}"
