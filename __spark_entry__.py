@@ -293,8 +293,11 @@ def q_decontaminate(spark, sf_dir):
     from osm_cycling_quality_index_spark.operators.quality import decontaminate
 
     # three consumers of the docs scan (corpus shingles, benchmark
-    # shingles, the corpus-side output join) — persist at the fan-out
+    # shingles, the corpus-side output join) — persist at the fan-out,
+    # registered for release_session_pinned (a library consumer composing
+    # these functions must be able to return the session to baseline)
     d = _docs(spark, sf_dir).persist()
+    dedup.pin_session(spark, d.unpersist)
     bench = d.where(F.col("doc_id") % 97 == 0)
     return decontaminate(d, bench, n=5)
 
@@ -359,8 +362,9 @@ def q_corpus_curate(spark, sf_dir):
 
     # the docs scan fans out to four consumers (pair pipeline, group
     # resolver, repetition stats, decontamination x2) — persist at the
-    # boundary, per the repo fan-out rule
+    # boundary, per the repo fan-out rule; registered for release
     d = _docs(spark, sf_dir).persist()
+    dedup.pin_session(spark, d.unpersist)
     pairs = dedup.minhash_lsh_pairs(d)
     groups = dedup.dedup_groups(d, pairs, id_col="doc_id", a="doc_a", b="doc_b")
     keep = groups.where(F.col("is_keeper") == 1).select("doc_id")
@@ -426,6 +430,7 @@ def q_dedup_groups_images(spark, sf_dir):
     # the image frame feeds both block-join sides and the resolver's corpus
     # side — persist at the fan-out, per the repo rule
     img = _images_phash(spark, sf_dir).persist()
+    dedup.pin_session(spark, img.unpersist)
     pairs = dedup.hamming_near_pairs(
         img, "image_id", "phash", bits=64, max_hamming=6,
         out_a="img_a", out_b="img_b",
@@ -476,8 +481,9 @@ def q_dedup_groups_text(spark, sf_dir):
     cluster (same resolver as the embedding variant, different pair
     pipeline feeding it)."""
     # two consumers of the docs scan (pair pipeline + group-resolver
-    # corpus side) — persist at the fan-out
+    # corpus side) — persist at the fan-out, registered for release
     d = _docs(spark, sf_dir).persist()
+    dedup.pin_session(spark, d.unpersist)
     pairs = dedup.minhash_lsh_pairs(d)
     return dedup.dedup_groups(d, pairs, id_col="doc_id", a="doc_a", b="doc_b")
 

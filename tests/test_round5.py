@@ -134,3 +134,34 @@ def test_bpe_pieces_equal_greedy_sequences(spark):
         for w in r.text.lower().replace(_WORD_MARK, " ").split(" "):
             want.extend(bpe_encode_word(w))
         assert r.pieces == want, f"doc {r.doc_id}: {r.pieces[:8]} vs {want[:8]}"
+
+
+def test_pip_join_shuffle_regime_matches_broadcast(spark):
+    """pip_join with max_broadcast_polys=0 (forcing the shuffle regime's
+    ids-only candidate join + attached-ring Arrow refine) returns exactly
+    the broadcast regime's rows, and the session storage returns to
+    baseline after release."""
+    from osm_cycling_quality_index_spark.operators.dedup import (
+        release_session_pinned,
+    )
+    from osm_cycling_quality_index_spark.operators.images import pip_join
+    from osm_cycling_quality_index_spark.plans.geo_queries import (
+        _points_df, _triangles_df,
+    )
+
+    release_session_pinned(spark)  # drain pins left by earlier tests
+    base = _registry_size(spark)
+    pts = _points_df(spark, SF01)
+    tris = _triangles_df(spark, SF01)
+    bc = {(r.image_id, r.poly_id) for r in pip_join(pts, tris, res=9).collect()}
+    sh = {
+        (r.image_id, r.poly_id)
+        for r in pip_join(pts, tris, res=9, max_broadcast_polys=0).collect()
+    }
+    assert bc == sh and len(bc) > 100
+    release_session_pinned(spark)
+    assert _registry_size(spark) == base
+
+
+def _registry_size(spark) -> int:
+    return len(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
