@@ -142,24 +142,24 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     """Redact emails / IPv4 addresses / international phone numbers —
     the standard pretraining-corpus PII pass.
 
-    Counts are taken per pattern on the ORIGINAL text (the patterns are
-    mutually exclusive on real text: an IPv4 cannot end an email's
-    letters-only TLD, and the phone form requires a leading '+'), then the
-    redactions apply sequentially.  Map-only column work: three
-    regexp_counts + three regexp_replaces per row, no shuffle, no UDF.
-    Output: (id_col, n_emails, n_ips, n_phones, scrub_md5) — the md5 of
-    the scrubbed text stands in for shipping the text through the
-    comparison harness."""
+    Each count is taken on the PROGRESSIVELY-REDACTED text (count emails
+    on the raw text, redact them, count IPs on the result, ...), so every
+    count equals the number of replacements that redaction pass actually
+    performed — the patterns mostly don't overlap, but a plus-prefixed
+    digit run inside an email local part ('+12345678@foo.com') matches
+    both PII_PHONE and PII_EMAIL, and raw-text counts would overstate the
+    phone redactions there.  Map-only column work: three regexp_counts +
+    three regexp_replaces per row, no shuffle, no UDF.  Output: (id_col,
+    n_emails, n_ips, n_phones, scrub_md5) — the md5 of the scrubbed text
+    stands in for shipping the text through the comparison harness."""
     t = F.col(text_col)
-    scrub = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
-            PII_IPV4, "<IP>"),
-        PII_PHONE, "<PHONE>")
+    t1 = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
     return df.select(
         id_col,
         F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
-        F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
-        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
-        F.md5(scrub).alias("scrub_md5"),
+        F.regexp_count(t1, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(t2, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(t3).alias("scrub_md5"),
     )

@@ -26,8 +26,15 @@ _M = 1 << 31
 
 
 def hash_bucket(id_col: Column) -> Column:
-    """Deterministic bucket in [0, 2^31) from a BIGINT id."""
-    return F.pmod(id_col * F.lit(_K), F.lit(_M))
+    """Deterministic bucket in [0, 2^31) from a BIGINT id.
+
+    The id is reduced mod 2^31 BEFORE the multiply: (2^31-1) * K stays
+    under 2^63, so the product never overflows int64 (Spark 4's ANSI mode
+    and DuckDB both throw on overflow — without the pre-reduce, ids >=
+    ~3.47e9 would abort the job).  For ids < 2^31 the pre-reduce is the
+    identity, so buckets are unchanged.  The oracle mirrors the same
+    two-step form."""
+    return F.pmod(F.pmod(id_col, F.lit(_M)) * F.lit(_K), F.lit(_M))
 
 
 def stratified_sample(

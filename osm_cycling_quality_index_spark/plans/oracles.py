@@ -675,8 +675,8 @@ def pii_scrub_sql() -> str:
     PII-augmented documents table (the synth corpus carries no PII, so the
     query plants emails/IPs/phones as pure functions of doc_id — identical
     expressions on both sides).  Same patterns (RE2 <-> Java common
-    subset), counts on the original text, sequential redaction, md5 of
-    the scrubbed text."""
+    subset), counts on the progressively-redacted text (each count ==
+    that pass's actual replacements), md5 of the scrubbed text."""
     from ..operators.quality import PII_EMAIL, PII_IPV4, PII_PHONE
 
     return f"""
@@ -687,16 +687,23 @@ WITH aug AS (
     || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77' ELSE '' END
     || CASE WHEN doc_id % 7 = 0 THEN ' call +4930' || CAST(doc_id + 1000000 AS VARCHAR) || ' ok' ELSE '' END AS t
   FROM documents
+),
+steps AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM aug
+),
+steps2 AS (
+  SELECT doc_id, t, t1,
+         regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2
+  FROM steps
 )
 SELECT doc_id,
   CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
-  CAST(len(regexp_extract_all(t, '{PII_IPV4}')) AS BIGINT) AS n_ips,
-  CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT) AS n_phones,
-  md5(regexp_replace(regexp_replace(regexp_replace(t,
-      '{PII_EMAIL}', '<EMAIL>', 'g'),
-      '{PII_IPV4}', '<IP>', 'g'),
-      '{PII_PHONE}', '<PHONE>', 'g')) AS scrub_md5
-FROM aug
+  CAST(len(regexp_extract_all(t1, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(t2, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+  md5(regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g')) AS scrub_md5
+FROM steps2
 """
 
 
@@ -715,7 +722,7 @@ def sample_split_sql(rates: dict | None = None, default_rate: float = 0.125,
 SELECT doc_id, source,
   CASE WHEN b < {t1} THEN 'train' WHEN b < {t2} THEN 'val' ELSE 'test' END AS split
 FROM (
-  SELECT doc_id, source, (doc_id * {_K}) % {_M} AS b FROM documents
+  SELECT doc_id, source, ((doc_id % {_M}) * {_K}) % {_M} AS b FROM documents
 )
 WHERE b < CASE source {arms} ELSE {int(default_rate * _M)} END
 """
@@ -740,7 +747,7 @@ grp AS ({dedup_groups_text_sql()}),
 rep AS ({REPETITION_STATS}),
 dec AS ({decontaminate_sql()}),
 kept AS (
-  SELECT d.doc_id, d.source, (d.doc_id * {_K}) % {_M} AS b
+  SELECT d.doc_id, d.source, ((d.doc_id % {_M}) * {_K}) % {_M} AS b
   FROM documents d
   JOIN grp USING (doc_id)
   JOIN rep USING (doc_id)

@@ -165,3 +165,38 @@ def test_pip_join_shuffle_regime_matches_broadcast(spark):
 
 def _registry_size(spark) -> int:
     return len(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def test_pii_counts_on_progressively_redacted_text(spark):
+    """A plus-prefixed digit run inside an email local part matches both
+    the phone and email patterns; counting on the progressively-redacted
+    text keeps n_phones == actual phone redactions (0 here, not 1)."""
+    from osm_cycling_quality_index_spark.operators.quality import pii_scrub
+
+    df = spark.createDataFrame(
+        [(0, "write +12345678@foo.com today"),
+         (1, "a@b.co then +998877665 separate")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (rows[0]["n_emails"], rows[0]["n_ips"], rows[0]["n_phones"]) == (1, 0, 0)
+    assert (rows[1]["n_emails"], rows[1]["n_ips"], rows[1]["n_phones"]) == (1, 0, 1)
+    import hashlib
+    assert rows[0]["scrub_md5"] == hashlib.md5(b"write <EMAIL> today").hexdigest()
+
+
+def test_hash_bucket_survives_64bit_ids(spark):
+    """Ids past ~3.47e9 overflowed id*K under ANSI before the pre-reduce;
+    the bucket must now compute and stay stable for any 64-bit id."""
+    from osm_cycling_quality_index_spark.operators.sampling import (
+        _K, _M, hash_bucket,
+    )
+
+    ids = [0, 1, 2**31 - 1, 2**31, 3_470_000_000, 2**62, 2**63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id BIGINT")
+    got = {
+        r.doc_id: r.b
+        for r in df.select("doc_id", hash_bucket(F.col("doc_id")).alias("b")).collect()
+    }
+    for i in ids:
+        assert got[i] == ((i % _M) * _K) % _M
