@@ -39,10 +39,29 @@ def _materialize(df) -> int:
     return 0
 
 
+#: per-pass 1-min loadavg above which a headline measurement is treated as
+#: tenant-contended: the loop retries once and, if still contended, flags
+#: the entry ``noisy`` so a round-over-round reader never mistakes external
+#: load for a code regression (the r4 artifact recorded a phantom 5x
+#: minhash "regression" at ext_loadavg 18 that re-measured at 3.9 s on a
+#: quiet box).  The threshold sits above this bench's own steady
+#: contribution to the 1-minute EMA (~4-10 between 5-second queries) and
+#: below the loads the known phantoms were recorded under (14-18).
+NOISY_LOAD = 12.0
+
+
+def _loadavg() -> str:
+    with open("/proc/loadavg") as fh:
+        return fh.read().split()[0]
+
+
 def run_headline(sf_dir: str, cpus: int) -> dict:
     import __spark_entry__ as E
     from osm_cycling_quality_index_spark.session import get_spark
 
+    # launch-gate like run_scaling: starting into a tenant burst taints
+    # every query of the run at once (bounded wait, release load disclosed)
+    gate_load = _wait_quiet(threshold=4.0, max_wait_sec=240)
     spark = get_spark(app_name="cqi-bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     queries = E.queries()
@@ -57,25 +76,36 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
             _F.pandas_udf(lambda s: s, "long")(_F.col("id"))
         )
     )
-    timings, passes, loads = {}, {}, {}
+    timings, passes, loads, noisy = {}, {}, {}, []
     for name in HEADLINE:
         # min of 2 passes per query: this shared box's external tenants swing
         # wall times up to ~10x, and a single sample let round-2 tenant noise
         # masquerade as a regression (geo_sidepath_vote 19.2 s driver-run vs
         # 12.8 s isolated).  Caches are cleared between passes, so the min is
-        # steady-state plan time (warm JIT), never a data-cache hit.
-        per = []
+        # steady-state plan time (warm JIT), never a data-cache hit.  A pass
+        # measured under loadavg > NOISY_LOAD gets ONE bounded retry; if the
+        # winning pass is still load-contended the entry is flagged noisy.
+        per, qloads = [], []
         for _ in range(2):
             spark.catalog.clearCache()
             t0 = time.time()
             _materialize(queries[name](spark, sf_dir))
             per.append(round(time.time() - t0, 2))
+            qloads.append(_loadavg())
+        if min(float(l) for l in qloads) > NOISY_LOAD:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            _materialize(queries[name](spark, sf_dir))
+            per.append(round(time.time() - t0, 2))
+            qloads.append(_loadavg())
+        best = min(range(len(per)), key=lambda i: per[i])
+        if float(qloads[best]) > NOISY_LOAD:
+            noisy.append(name)
         # per-query external load: lets a reader attribute an outlier pass
         # to tenant contention instead of the plan
-        with open("/proc/loadavg") as fh:
-            loads[name] = fh.read().split()[0]
+        loads[name] = qloads[-1]
         passes[name] = per
-        timings[name] = min(per)
+        timings[name] = per[best]
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 2)
     # full sweep: ONE pass over every driver query, so the slowest and the
@@ -106,6 +136,11 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "queries": timings,
         "query_passes": passes,
         "ext_loadavg": loads,
+        "gate_load": gate_load,
+        "noisy_queries": noisy,
+        "noisy_note": (f"entries whose winning pass ran under 1-min loadavg "
+                       f"> {NOISY_LOAD} even after one retry — treat their "
+                       f"timings as upper bounds, not regressions"),
         "sweep_single_pass": sweep,
         "sweep_note": ("headline entries are min-of-2 warm; all others are "
                        "one cold pass incl. first-use plan build — compare "
