@@ -252,6 +252,36 @@ def q_bpe_tokens(spark, sf_dir):
     return d.select("doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
 
 
+def q_lang_quality(spark, sf_dir):
+    """Dedicated lang_id / quality_score boundary row (they otherwise ride
+    text_stats, where a marker-table regression only surfaces as an opaque
+    hash flip): customer keys cycle through functions/text.py's
+    LANG_BOUNDARY_CASES — texts sitting exactly on the length / punctuation
+    / stopword-density thresholds and the marker argmax tie — and the
+    per-language scores are emitted alongside the verdicts so a mismatch
+    localizes itself."""
+    from osm_cycling_quality_index_spark.functions.text import (
+        LANG_BOUNDARY_CASES, lang_id, lang_scores, quality_score,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    n = len(LANG_BOUNDARY_CASES)
+    t = None
+    for i, case in enumerate(LANG_BOUNDARY_CASES):
+        lit = (F.repeat(F.lit(case[1]), case[2]) if isinstance(case, tuple)
+               else F.lit(case))
+        t = F.when(k % n == i, lit) if t is None else t.when(k % n == i, lit)
+    t = t.otherwise(F.lit(""))
+    scores = lang_scores(t)
+    return c.select(
+        k.alias("doc_id"),
+        *[scores[lang].cast("int").alias(f"s_{lang}") for lang in sorted(scores)],
+        lang_id(t).alias("lang"),
+        quality_score(t).alias("quality"),
+    )
+
+
 def q_bpe_vocab(spark, sf_dir):
     """Corpus BPE vocabulary histogram over the subword SEQUENCES
     (functions/bpe.bpe_pieces — the split-to-array step the replace-chain
@@ -532,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash": q_simhash,
         "text_stats": q_text_stats,
+        "lang_quality": q_lang_quality,
         "bpe_token_counts": q_bpe_tokens,
         "bpe_vocab_counts": q_bpe_vocab,
         "doc_fingerprint": q_fingerprint,
@@ -574,6 +605,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": O.minhash_lsh_sql(),
         "simhash": O.simhash_sql(),
         "text_stats": O.text_stats_sql(),
+        "lang_quality": O.lang_quality_sql(),
         "bpe_token_counts": _bpe_query_sql(),
         "bpe_vocab_counts": _bpe_vocab_sql(),
         "doc_fingerprint": O.FINGERPRINT,

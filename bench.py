@@ -39,20 +39,60 @@ def _materialize(df) -> int:
     return 0
 
 
-#: per-pass 1-min loadavg above which a headline measurement is treated as
-#: tenant-contended: the loop retries once and, if still contended, flags
-#: the entry ``noisy`` so a round-over-round reader never mistakes external
-#: load for a code regression (the r4 artifact recorded a phantom 5x
-#: minhash "regression" at ext_loadavg 18 that re-measured at 3.9 s on a
-#: quiet box).  The threshold sits above this bench's own steady
-#: contribution to the 1-minute EMA (~4-10 between 5-second queries) and
-#: below the loads the known phantoms were recorded under (14-18).
-NOISY_LOAD = 12.0
+#: average EXTERNAL cores busy during a pass above which the measurement is
+#: treated as tenant-contended: the loop retries once and, if still
+#: contended, flags the entry ``noisy`` so a round-over-round reader never
+#: mistakes external load for a code regression (the r4 artifact recorded a
+#: phantom 5x minhash "regression" at ext_loadavg 18 that re-measured at
+#: 3.9 s on a quiet box).  External cores are measured directly — host
+#: /proc/stat busy jiffies minus this process TREE's jiffies (python + JVM
+#: + UDF workers) over the pass window — so unlike the 1-minute loadavg the
+#: signal is immune to the bench's own load and has no EMA lag.
+EXT_NOISY_CORES = 4.0
 
 
 def _loadavg() -> str:
     with open("/proc/loadavg") as fh:
         return fh.read().split()[0]
+
+
+def _tree_pids(root: int) -> list:
+    out, stack = [], [root]
+    while stack:
+        p = stack.pop()
+        out.append(p)
+        try:
+            for task in os.listdir(f"/proc/{p}/task"):
+                with open(f"/proc/{p}/task/{task}/children") as fh:
+                    stack += [int(c) for c in fh.read().split()]
+        except OSError:
+            pass
+    return out
+
+
+def _cpu_snap() -> tuple:
+    """(host busy jiffies, this process tree's jiffies incl. reaped
+    children, wall) — the pair of snapshots around a pass yields the
+    external-tenant core count for exactly that window."""
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()[1:]
+    busy = sum(int(parts[i]) for i in (0, 1, 2, 5, 6, 7))
+    tree = 0
+    for p in _tree_pids(os.getpid()):
+        try:
+            with open(f"/proc/{p}/stat") as fh:
+                st = fh.read().rsplit(")", 1)[1].split()
+            tree += int(st[11]) + int(st[12]) + int(st[13]) + int(st[14])
+        except (OSError, IndexError):
+            pass
+    return busy, tree, time.time()
+
+
+def _ext_cores(s0: tuple, s1: tuple) -> float:
+    """Average external cores busy between two _cpu_snap()s."""
+    dt = max(s1[2] - s0[2], 1e-6)
+    hz = os.sysconf("SC_CLK_TCK")
+    return round(max(0.0, (s1[0] - s0[0]) - (s1[1] - s0[1])) / dt / hz, 2)
 
 
 def run_headline(sf_dir: str, cpus: int) -> dict:
@@ -83,27 +123,30 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         # masquerade as a regression (geo_sidepath_vote 19.2 s driver-run vs
         # 12.8 s isolated).  Caches are cleared between passes, so the min is
         # steady-state plan time (warm JIT), never a data-cache hit.  A pass
-        # measured under loadavg > NOISY_LOAD gets ONE bounded retry; if the
-        # winning pass is still load-contended the entry is flagged noisy.
-        per, qloads = [], []
+        # whose window shows > EXT_NOISY_CORES external cores busy gets ONE
+        # bounded retry; if the winning pass is still contended the entry
+        # is flagged noisy.
+        per, exts = [], []
         for _ in range(2):
             spark.catalog.clearCache()
-            t0 = time.time()
+            s0 = _cpu_snap()
             _materialize(queries[name](spark, sf_dir))
-            per.append(round(time.time() - t0, 2))
-            qloads.append(_loadavg())
-        if min(float(l) for l in qloads) > NOISY_LOAD:
+            s1 = _cpu_snap()
+            per.append(round(s1[2] - s0[2], 2))
+            exts.append(_ext_cores(s0, s1))
+        if min(exts) > EXT_NOISY_CORES:
             spark.catalog.clearCache()
-            t0 = time.time()
+            s0 = _cpu_snap()
             _materialize(queries[name](spark, sf_dir))
-            per.append(round(time.time() - t0, 2))
-            qloads.append(_loadavg())
+            s1 = _cpu_snap()
+            per.append(round(s1[2] - s0[2], 2))
+            exts.append(_ext_cores(s0, s1))
         best = min(range(len(per)), key=lambda i: per[i])
-        if float(qloads[best]) > NOISY_LOAD:
+        if exts[best] > EXT_NOISY_CORES:
             noisy.append(name)
-        # per-query external load: lets a reader attribute an outlier pass
+        # per-pass external cores: lets a reader attribute an outlier pass
         # to tenant contention instead of the plan
-        loads[name] = qloads[-1]
+        loads[name] = exts
         passes[name] = per
         timings[name] = per[best]
         spark.catalog.clearCache()
@@ -116,15 +159,31 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         release_session_pinned,
     )
 
-    sweep = dict(timings)
+    sweep, sweep_ext, sweep_noisy = dict(timings), {}, []
     for name, fn in queries.items():
         if name in sweep:
             continue
-        spark.catalog.clearCache()
-        release_session_pinned(spark)
-        t0 = time.time()
-        _materialize(fn(spark, sf_dir))
-        sweep[name] = round(time.time() - t0, 2)
+        per, exts = [], []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            release_session_pinned(spark)
+            s0 = _cpu_snap()
+            _materialize(fn(spark, sf_dir))
+            s1 = _cpu_snap()
+            per.append(round(s1[2] - s0[2], 2))
+            exts.append(_ext_cores(s0, s1))
+            # the sweep is cold-pass by design; only a contended window
+            # earns the bounded second pass (this round's first artifact
+            # draft recorded dedup_groups_text at 87 s under a tenant
+            # burst that re-measured at 10 s — exactly the phantom this
+            # guards against)
+            if exts[0] <= EXT_NOISY_CORES:
+                break
+        best = min(range(len(per)), key=lambda i: per[i])
+        if exts[best] > EXT_NOISY_CORES:
+            sweep_noisy.append(name)
+        sweep[name] = per[best]
+        sweep_ext[name] = exts
     spark.catalog.clearCache()
     release_session_pinned(spark)
     with open("/proc/loadavg") as fh:
@@ -135,13 +194,16 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "unit": "sec",
         "queries": timings,
         "query_passes": passes,
-        "ext_loadavg": loads,
+        "ext_cores_per_pass": loads,
         "gate_load": gate_load,
         "noisy_queries": noisy,
-        "noisy_note": (f"entries whose winning pass ran under 1-min loadavg "
-                       f"> {NOISY_LOAD} even after one retry — treat their "
+        "noisy_note": (f"entries whose winning pass had > {EXT_NOISY_CORES} "
+                       f"external cores busy (host /proc/stat minus this "
+                       f"process tree) even after one retry — treat their "
                        f"timings as upper bounds, not regressions"),
         "sweep_single_pass": sweep,
+        "sweep_ext_cores": sweep_ext,
+        "sweep_noisy": sweep_noisy,
         "sweep_note": ("headline entries are min-of-2 warm; all others are "
                        "one cold pass incl. first-use plan build — compare "
                        "per-query across rounds, not across queries"),

@@ -24,6 +24,29 @@ LANG_MARKERS = {
 _FP_MOD = 1000000007
 _FP_POW = [31 ** (i % 4) for i in range(4)]  # bounded powers, see fingerprint
 
+#: boundary fixtures for the dedicated lang_id / quality_score oracle row
+#: (q_lang_quality): each entry is a text (or ("repeat", s, n) for long
+#: texts) sitting exactly ON a marker-table or threshold edge, so a
+#: regression in LANG_MARKERS or the quality bands flips this row's hash
+#: directly instead of hiding inside text_stats.  Shared by the Spark
+#: query and the SQL mirror so both synthesize identical strings.
+LANG_BOUNDARY_CASES = [
+    "the and of to is",        # every en marker once
+    "der die und nicht ist",   # every de marker once
+    "le la et les est",        # every fr marker once
+    "the der le filler",       # 3-way tie -> alphabetical winner 'de'
+    "",                        # empty -> 'unknown', quality 0.0
+    "xyzzy plugh",             # no markers -> 'unknown', quality 0.1
+    "the cat sat on mat..",    # len 20 (in band) + punct 0.1 + stopword
+    "the cat sat on mats",     # len 19 (just below the band)
+    "abcdefgh..",              # punct exactly 0.2 -> excluded (strict <)
+    "abcdefghi.",              # punct 0.1 -> included
+    ("repeat", "ab", 2501),    # len 5002 (just above the band)
+    ("repeat", "a", 5000),     # len 5000 (top of the band, inclusive)
+    "the a b c d e f g h i",   # 10 tokens, 1 stopword -> density holds
+    "the a b c d e f g h i j", # 11 tokens, 1 stopword -> density fails
+]
+
 
 def token_count(text: Column) -> Column:
     """Whitespace token count (empty tokens from repeated spaces included,

@@ -303,8 +303,11 @@ def _lang_score(lang: str) -> str:
     return " + ".join(_occurrences(padded, f" {w} ") for w in LANG_MARKERS[lang])
 
 
-def text_stats_sql() -> str:
-    scores = {lang: _lang_score(lang) for lang in sorted(LANG_MARKERS)}
+def _lang_quality_parts() -> tuple[str, str, str, str]:
+    """(lang argmax expr, tokens expr, punct expr, quality expr) over a
+    relation exposing ``text`` and per-language ``s_{lang}`` columns —
+    shared by text_stats_sql and lang_quality_sql so the two rows can
+    never drift apart."""
     # argmax with alphabetical tie-break: fold in alphabetical order keeping
     # strictly-greater winners (mirrors functions/text.py lang_id)
     langs = sorted(LANG_MARKERS)
@@ -312,12 +315,24 @@ def text_stats_sql() -> str:
     for lang in langs[1:]:
         best_l = f"CASE WHEN s_{lang} > {best_s} THEN '{lang}' ELSE {best_l} END"
         best_s = f"CASE WHEN s_{lang} > {best_s} THEN s_{lang} ELSE {best_s} END"
+    lang_expr = f"CASE WHEN {best_s} > 0 THEN {best_l} ELSE 'unknown' END"
     punct_strip = "text"
     for ch in [".", ",", ";", ":", "!", "?"]:
         punct_strip = f"replace({punct_strip}, '{ch}', '')"
     tokens = "CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
     punct = f"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length({punct_strip}) AS DOUBLE) / length(text) END"
     any_stop = " + ".join(f"s_{lang}" for lang in langs)
+    quality = f"""ROUND(
+         (CASE WHEN length(text) BETWEEN 20 AND 5000 THEN 0.4
+               WHEN length(text) > 0 THEN 0.1 ELSE 0.0 END)
+         + (CASE WHEN {punct} > 0 AND {punct} < 0.2 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN ({any_stop}) * 10 >= {tokens} THEN 0.3 ELSE 0.0 END), 1)"""
+    return lang_expr, tokens, punct, quality
+
+
+def text_stats_sql() -> str:
+    scores = {lang: _lang_score(lang) for lang in sorted(LANG_MARKERS)}
+    lang_expr, tokens, punct, quality = _lang_quality_parts()
     from ..functions.bpe import bpe_query_sql
 
     return f"""
@@ -332,13 +347,41 @@ SELECT doc_id,
        {tokens} AS n_tokens,
        bpe.n_bpe_tokens AS n_subwords,
        ROUND({punct}, 6) AS punct_ratio,
-       CASE WHEN {best_s} > 0 THEN {best_l} ELSE 'unknown' END AS lang,
-       ROUND(
-         (CASE WHEN length(text) BETWEEN 20 AND 5000 THEN 0.4
-               WHEN length(text) > 0 THEN 0.1 ELSE 0.0 END)
-         + (CASE WHEN {punct} > 0 AND {punct} < 0.2 THEN 0.3 ELSE 0.0 END)
-         + (CASE WHEN ({any_stop}) * 10 >= {tokens} THEN 0.3 ELSE 0.0 END), 1) AS quality
+       {lang_expr} AS lang,
+       {quality} AS quality
 FROM s JOIN bpe USING (doc_id)
+"""
+
+
+def lang_quality_sql() -> str:
+    """Dedicated lang_id / quality_score boundary mirror over
+    functions/text.py's LANG_BOUNDARY_CASES, synthesized from customer keys
+    with the SAME case table as the Spark query."""
+    from ..functions.text import LANG_BOUNDARY_CASES
+
+    n = len(LANG_BOUNDARY_CASES)
+    arms = []
+    for i, case in enumerate(LANG_BOUNDARY_CASES):
+        lit = (f"repeat('{case[1]}', {case[2]})" if isinstance(case, tuple)
+               else "'" + case.replace("'", "''") + "'")
+        arms.append(f"WHEN {i} THEN {lit}")
+    scores = {lang: _lang_score(lang) for lang in sorted(LANG_MARKERS)}
+    lang_expr, _tokens, _punct, quality = _lang_quality_parts()
+    return f"""
+WITH boundary AS (
+  SELECT c_custkey AS doc_id,
+         CASE c_custkey % {n} {' '.join(arms)} ELSE '' END AS text
+  FROM customer
+),
+s AS (
+  SELECT doc_id, text,
+         {", ".join(f"CAST({sql} AS INT) AS s_{lang}" for lang, sql in scores.items())}
+  FROM boundary
+)
+SELECT doc_id, s_de, s_en, s_fr,
+       {lang_expr} AS lang,
+       {quality} AS quality
+FROM s
 """
 
 

@@ -200,3 +200,36 @@ def test_hash_bucket_survives_64bit_ids(spark):
     }
     for i in ids:
         assert got[i] == ((i % _M) * _K) % _M
+
+
+def test_lang_quality_boundary_verdicts(spark):
+    """Hand-computed verdicts for every LANG_BOUNDARY_CASES entry: marker
+    argmax ties break alphabetically, the length band is [20, 5000], the
+    punct band is (0, 0.2) strict, stopword density is 10*stops >= tokens."""
+    import __spark_entry__ as E
+    from osm_cycling_quality_index_spark.functions.text import (
+        LANG_BOUNDARY_CASES,
+    )
+
+    n = len(LANG_BOUNDARY_CASES)
+    rows = E.q_lang_quality(spark, SF01).collect()
+    want = {
+        0: ("en", 0.4),          # 16 chars: below the length band
+        1: ("de", 0.7),          # 21 chars: in band + stopword density
+        2: ("fr", 0.4),
+        3: ("de", 0.4),          # 1-1-1 tie -> alphabetical winner
+        4: ("unknown", 0.0),     # empty
+        5: ("unknown", 0.1),     # no markers
+        6: ("en", 1.0),          # len 20 + punct 0.1 + stopword density
+        7: ("en", 0.4),          # len 19 just below the band
+        8: ("unknown", 0.1),     # punct exactly 0.2 excluded
+        9: ("unknown", 0.4),     # punct 0.1 included
+        10: ("unknown", 0.1),    # len 5002 above the band
+        11: ("unknown", 0.4),    # len 5000 top of band inclusive
+        12: ("en", 0.7),         # 10 tokens, 1 stop -> density holds
+        13: ("en", 0.4),         # 11 tokens, 1 stop -> density fails
+    }
+    assert set(want) == set(range(n))
+    for r in rows:
+        lang, q = want[r.doc_id % n]
+        assert (r.lang, r.quality) == (lang, q), (r.doc_id % n, r.lang, r.quality)
