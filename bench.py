@@ -328,16 +328,20 @@ def run_scaling_job(cores: int, n_roads: int, n_points: int, cache_dir: str) -> 
 
 
 def _wait_quiet(threshold: float = 1.5, max_wait_sec: int = 300) -> str:
-    """Block until the 1-minute loadavg drops below ``threshold`` (external
-    tenants share this box), or until ``max_wait_sec`` passes; returns the
-    load observed at release so the report can show it."""
+    """Block until external tenants are quiet, or until ``max_wait_sec``
+    passes; returns the externally-busy core count observed at release so
+    the report can show it.  Quietness is measured directly (external
+    cores over a 2 s window via _cpu_snap) rather than by the 1-minute
+    loadavg, whose EMA lag both over-waits after a burst ends and lets a
+    just-started burst through."""
     deadline = time.time() + max_wait_sec
     while True:
-        with open("/proc/loadavg") as fh:
-            load = fh.read().split()[0]
-        if float(load) < threshold or time.time() >= deadline:
-            return load
-        time.sleep(10)
+        s0 = _cpu_snap()
+        time.sleep(2)
+        ext = _ext_cores(s0, _cpu_snap())
+        if ext < threshold or time.time() >= deadline:
+            return str(ext)
+        time.sleep(8)
 
 
 def _scaling_child(cores: int, n_roads: int, n_points: int) -> dict:
@@ -426,7 +430,7 @@ def _pairs_table(report: dict) -> str:
         for p in report.get("pairs", [])
     ]
     return "\n".join(
-        ["| N rows/s | 4N rows/s | load at gate release | loadavg N / 4N | efficiency |",
+        ["| N rows/s | 4N rows/s | ext cores at gate | loadavg N / 4N | efficiency |",
          "|---|---|---|---|---|", *rows]
     )
 
@@ -466,7 +470,7 @@ cached input ({n_points:,} geotagged points x ~{n_roads * 2} ways), run at
 each stage is the minimum of 4 cleared-cache passes after a warm-up pass.
 The box hosts external tenants whose load varies minute-to-minute and hits
 the two levels unequally, so each repeat measures N and 4N BACK-TO-BACK as
-a temporally-adjacent pair (launch gated on a quiet 1-minute loadavg),
+a temporally-adjacent pair (launch gated on a measured-quiet external-core window),
 efficiency is computed within each pair, and the best pair is reported —
 all pairs and their loadavgs below.
 

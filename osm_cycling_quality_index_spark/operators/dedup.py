@@ -330,17 +330,20 @@ def hamming_near_pairs(
     )
     a = blocks.select(F.col(id_col).alias(out_a), h.alias("sh_a"), "block", "block_val")
     b = blocks.select(F.col(id_col).alias(out_b), h.alias("sh_b"), "block", "block_val")
-    cand = (
-        a.join(b, ["block", "block_val"])
-        .where(F.col(out_a) < F.col(out_b))
-        .select(out_a, out_b, "sh_a", "sh_b")
-        .distinct()
-    )
+    # verify BEFORE the dedup shuffle: the hamming test is map-side row
+    # math, so candidates that fail it (the bulk, in a corpus with large
+    # near-dup families where a pair can co-bucket in up to all
+    # max_hamming+1 blocks) never enter the distinct's exchange, and the
+    # distinct carries (ids, hamming) — hamming is functionally determined
+    # by the pair, so no payload rides beyond the verdict itself.
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        cand.withColumn("hamming", hamming)
+        a.join(b, ["block", "block_val"])
+        .where(F.col(out_a) < F.col(out_b))
+        .withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select(out_a, out_b, "hamming")
+        .distinct()
     )
 
 
