@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from osm_cycling_quality_index_spark.functions import text as T
 from osm_cycling_quality_index_spark.functions.bpe import (
     bpe_query_sql as _bpe_query_sql,
+    bpe_token_ids_sql as _bpe_token_ids_sql,
     bpe_vocab_sql as _bpe_vocab_sql,
 )
 from osm_cycling_quality_index_spark.operators import ann, dedup
@@ -301,6 +302,35 @@ def q_bpe_vocab(spark, sf_dir):
     )
 
 
+def q_bpe_token_ids(spark, sf_dir):
+    """Per-doc BPE token-ID sequences — the final output a tokenizing
+    stage ships: the piece array exploded with position, each piece mapped
+    to a dense corpus-vocab id by a broadcast join.  The BPE vocabulary is
+    bounded by construction (base alphabet + one entry per committed
+    merge), so the dense_rank window over the distinct pieces is a
+    dimension-sized single partition, never a corpus-sized one.  Output:
+    (doc_id, pos, token_id) — exploded scalars rather than an array column
+    so the oracle hash covers every id positionally."""
+    from osm_cycling_quality_index_spark.functions.bpe import bpe_pieces
+
+    d = _docs(spark, sf_dir)
+    pieces = d.select(
+        "doc_id", F.posexplode(bpe_pieces(F.col("text"))).alias("pos", "piece")
+    )
+    vocab = (
+        pieces.select("piece").distinct()
+        .withColumn(
+            "token_id",
+            F.dense_rank().over(Window.partitionBy(F.lit(0)).orderBy("piece"))
+            .cast("int"),
+        )
+    )
+    return (
+        pieces.join(F.broadcast(vocab), "piece")
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "token_id")
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     return T.fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -565,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality": q_lang_quality,
         "bpe_token_counts": q_bpe_tokens,
         "bpe_vocab_counts": q_bpe_vocab,
+        "bpe_token_ids": q_bpe_token_ids,
         "doc_fingerprint": q_fingerprint,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
@@ -608,6 +639,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_quality": O.lang_quality_sql(),
         "bpe_token_counts": _bpe_query_sql(),
         "bpe_vocab_counts": _bpe_vocab_sql(),
+        "bpe_token_ids": _bpe_token_ids_sql(),
         "doc_fingerprint": O.FINGERPRINT,
         "repetition_stats": O.REPETITION_STATS,
         "decontaminate": O.decontaminate_sql(),

@@ -140,6 +140,21 @@ def bpe_query_sql(table: str = "documents", id_col: str = "doc_id",
     )
 
 
+def _pieces_sql(table: str = "documents", id_col: str = "doc_id",
+                expr: str = "text") -> str:
+    """DuckDB mirror of the exploded :func:`bpe_pieces` arrays as a
+    ``({id_col}, pos, piece)`` query (0-based position, matching Spark's
+    posexplode; DuckDB lacks WITH ORDINALITY, so position comes from a
+    range() unnest over the filtered list)."""
+    lst = (f"list_filter(string_split(trim(s), ' '), "
+           f"x -> x <> '{_WORD_MARK}' AND x <> '')")
+    return f"""
+SELECT {id_col}, i AS pos, l[i + 1] AS piece
+FROM (SELECT {id_col}, {lst} AS l FROM ({_chain_sql(table, id_col, expr)})),
+     UNNEST(range(0, len(l))) u(i)
+"""
+
+
 def bpe_vocab_sql(table: str = "documents", id_col: str = "doc_id",
                   expr: str = "text") -> str:
     """DuckDB mirror of the corpus vocabulary histogram over
@@ -153,6 +168,23 @@ FROM (
   FROM ({_chain_sql(table, id_col, expr)})
 )
 GROUP BY piece
+"""
+
+
+def bpe_token_ids_sql(table: str = "documents", id_col: str = "doc_id",
+                      expr: str = "text") -> str:
+    """DuckDB mirror of the per-doc token-ID sequences: exploded pieces
+    joined to a dense corpus-vocab rank (alphabetical, same tie-free order
+    as the Spark window)."""
+    return f"""
+WITH pieces AS ({_pieces_sql(table, id_col, expr)}),
+vocab AS (
+  SELECT piece,
+         CAST(dense_rank() OVER (ORDER BY piece) AS INT) AS token_id
+  FROM (SELECT DISTINCT piece FROM pieces)
+)
+SELECT {id_col}, CAST(pos AS INT) AS pos, token_id
+FROM pieces JOIN vocab USING (piece)
 """
 
 

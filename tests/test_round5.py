@@ -234,3 +234,24 @@ def test_lang_quality_boundary_verdicts(spark):
     for r in rows:
         lang, q = want[r.doc_id % n]
         assert (r.lang, r.quality) == (lang, q), (r.doc_id % n, r.lang, r.quality)
+
+
+def test_bpe_token_ids_consistent_with_counts(spark):
+    """Per-doc id-sequence length == n_bpe_tokens, positions are dense
+    0..n-1, and token ids are a dense 1..V alphabetical vocabulary."""
+    import __spark_entry__ as E
+
+    ids = E.q_bpe_token_ids(spark, SF).collect()
+    counts = {
+        r.doc_id: r.n_bpe_tokens for r in E.q_bpe_tokens(spark, SF).collect()
+    }
+    per_doc = {}
+    for r in ids:
+        per_doc.setdefault(r.doc_id, []).append(r.pos)
+    for doc_id, poss in per_doc.items():
+        assert sorted(poss) == list(range(len(poss)))
+        assert len(poss) == counts[doc_id]
+    # docs with zero tokens simply have no rows
+    assert all(counts[d] == 0 for d in set(counts) - set(per_doc))
+    toks = {r.token_id for r in ids}
+    assert toks == set(range(1, len(toks) + 1))
