@@ -208,9 +208,10 @@ def minhash_signatures(
     (a_i*word_id + b_i) mod P, with a_i = 2i+1, b_i = 31*i+7 (fixed affine
     family), over 3-word shingles.  Output: (doc_id, sig array<long>).
 
-    ``tokens`` lets a caller that already shingled the corpus (e.g. the LSH
-    pair pipeline, which also needs the shingle sets for exact verify) share
-    one tokenize+distinct pass instead of re-running it."""
+    ``tokens`` lets a caller that already shingled the corpus share one
+    tokenize+distinct pass instead of re-running it.  (minhash_lsh_pairs no
+    longer calls this: it folds the same minima into its verify-set
+    aggregate so the token stream shuffles once, not twice.)"""
     toks = word_ids(tokens if tokens is not None
                     else tokenize(df, text_col, "shingle"), mode)
     aggs = [
@@ -233,21 +234,35 @@ def minhash_lsh_pairs(
     Output: (doc_a, doc_b, jaccard).
     """
     rows = n_hashes // bands
-    # tokenize fans out to >=3 consumers (word-id vocabulary, the word-id
-    # join input, the exact-verify shingle sets); persist at the boundary.
-    # An earlier round dropped this persist on the theory that a map-only
-    # stage is cheap to recompute — but recompute cost multiplies by
-    # consumer count, and on single-row-group input the shingling pass runs
-    # at parallelism 1, so the recompute was the plan's scale-killer (the
-    # r2 bench paid ~4x for it).  Fan-out boundaries get persisted; that is
-    # the repo rule (operators/sidepath.py follows it for the same reason).
+    # tokenize fans out to >=2 consumers (word-id vocabulary, the word-id
+    # join input); persist at the boundary.  An earlier round dropped this
+    # persist on the theory that a map-only stage is cheap to recompute —
+    # but recompute cost multiplies by consumer count, and on
+    # single-row-group input the shingling pass runs at parallelism 1, so
+    # the recompute was the plan's scale-killer (the r2 bench paid ~4x for
+    # it).  Fan-out boundaries get persisted; that is the repo rule
+    # (operators/sidepath.py follows it for the same reason).
     toks = tokenize(df, text_col, "shingle").persist()
-    sig = minhash_signatures(df, n_hashes, text_col, mode, tokens=toks).persist()
-    banded = sig.select(
+    pin_session(df.sparkSession, toks.unpersist)
+    # ONE grouped pass computes BOTH the n_hashes signature minima and the
+    # exact-verify shingle set per doc: a separate minhash_signatures
+    # groupBy + a separate collect_set groupBy shuffled the full token
+    # stream twice for two aggregates over the same key — the merged
+    # aggregate halves the token shuffle volume and drops a whole stage.
+    idtoks = word_ids(toks, mode)
+    aggs = [
+        F.min((F.col("word_id") * (2 * i + 1) + (31 * i + 7)) % _P).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    per_doc = idtoks.groupBy("doc_id").agg(
+        *aggs, F.collect_set("word").alias("words")
+    ).persist()  # fans out to the banded self-join (x2) and both verify sides
+    pin_session(df.sparkSession, per_doc.unpersist)
+    banded = per_doc.select(
         "doc_id",
         F.posexplode(
             F.array(*[
-                F.concat_ws("_", *[F.col("sig")[b * rows + r] for r in range(rows)])
+                F.concat_ws("_", *[F.col(f"h{b * rows + r}") for r in range(rows)])
                 for b in range(bands)
             ])
         ).alias("band", "band_val"),
@@ -264,9 +279,8 @@ def minhash_lsh_pairs(
     # pair): attach each side's shingle set by equi-join and intersect the
     # arrays per pair — candidate volume post-LSH is tiny, so the arrays
     # never ride through a wide shuffle
-    sets_ = toks.groupBy("doc_id").agg(F.collect_set("word").alias("words"))
-    sa = sets_.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
-    sb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
+    sa = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
+    sb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
     common = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
     jaccard = common / (F.size("wa") + F.size("wb") - common)
     return (
