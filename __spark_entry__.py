@@ -235,6 +235,15 @@ def q_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def q_minhash_sketch(spark, sf_dir):
+    """Scale-path minhash verify (dedup.minhash_lsh_pairs with
+    verify='sketch'): jaccard estimated as the signature
+    matching-component fraction, so only the fixed-width signature rides
+    to the candidates — verify cost independent of document length.
+    Deterministic for the fixed hash family, hence exactly oracled."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), verify="sketch")
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
@@ -590,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh,
+        "minhash_sketch_pairs": q_minhash_sketch,
         "simhash": q_simhash,
         "text_stats": q_text_stats,
         "lang_quality": q_lang_quality,
@@ -634,6 +644,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": O.DEDUP_EXACT,
         "jaccard_pairs": O.JACCARD_PAIRS.format(threshold=0.5),
         "minhash_lsh_pairs": O.minhash_lsh_sql(),
+        "minhash_sketch_pairs": O.minhash_sketch_sql(),
         "simhash": O.simhash_sql(),
         "text_stats": O.text_stats_sql(),
         "lang_quality": O.lang_quality_sql(),

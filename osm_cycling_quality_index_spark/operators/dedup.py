@@ -225,13 +225,29 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     df: DataFrame, n_hashes: int = 16, bands: int = 4,
     threshold: float = 0.5, text_col: str = "text", mode: str = "dictionary",
+    verify: str = "exact",
 ) -> DataFrame:
-    """MinHash + banded LSH near-dup candidates, verified by exact Jaccard.
+    """MinHash + banded LSH near-dup candidates, verified to >= threshold.
 
     Signatures are split into ``bands`` bands of n_hashes/bands rows; docs
-    sharing any full band become candidates (equi-join on the band value),
-    then exact Jaccard over word sets filters to >= threshold.
+    sharing any full band become candidates (equi-join on the band value).
     Output: (doc_a, doc_b, jaccard).
+
+    ``verify`` picks the post-candidate filter:
+
+    - ``'exact'`` (default): true Jaccard over the distinct shingle sets,
+      attached to each candidate side by equi-join.  Exact, but the shingle
+      arrays scale with document length — at very large scale (or with
+      near-dup families so big the candidate set is huge) those arrays are
+      the dominant verify payload.
+    - ``'sketch'``: the unbiased MinHash estimate — the fraction of the
+      n_hashes signature components the two docs agree on.  Only the
+      fixed-width signature (n_hashes longs) rides to the candidates, so
+      verify cost is independent of document length: this is the 100-TB
+      path (combine with mode='xxhash' to also drop the vocabulary join).
+      Deterministic for a fixed hash family, hence still exactly
+      SQL-mirrorable; accuracy vs exact is gated in pytest
+      (tests/test_round5.py).
     """
     rows = n_hashes // bands
     # tokenize fans out to >=2 consumers (word-id vocabulary, the word-id
@@ -254,8 +270,12 @@ def minhash_lsh_pairs(
         F.min((F.col("word_id") * (2 * i + 1) + (31 * i + 7)) % _P).alias(f"h{i}")
         for i in range(n_hashes)
     ]
+    # the shingle-set payload is only aggregated when the exact verify
+    # needs it — the sketch verify reads nothing but the h columns
+    if verify == "exact":
+        aggs.append(F.collect_set("word").alias("words"))
     per_doc = idtoks.groupBy("doc_id").agg(
-        *aggs, F.collect_set("word").alias("words")
+        *aggs
     ).persist()  # fans out to the banded self-join (x2) and both verify sides
     pin_session(df.sparkSession, per_doc.unpersist)
     banded = per_doc.select(
@@ -275,6 +295,27 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    if verify == "sketch":
+        # signature-agreement estimate: fixed-width payload (n_hashes
+        # longs per side), candidate verify cost independent of doc length
+        ha = per_doc.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"h{i}").alias(f"ha{i}") for i in range(n_hashes)],
+        )
+        hb = per_doc.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"h{i}").alias(f"hb{i}") for i in range(n_hashes)],
+        )
+        matches = sum(
+            F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+            for i in range(n_hashes)
+        )
+        return (
+            cand.join(ha, "doc_a").join(hb, "doc_b")
+            .withColumn("jaccard", F.round(matches / F.lit(float(n_hashes)), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
     # exact-Jaccard verify ONLY the LSH candidates (not every overlapping
     # pair): attach each side's shingle set by equi-join and intersect the
     # arrays per pair — candidate volume post-LSH is tiny, so the arrays

@@ -232,7 +232,9 @@ WHERE common / (na.n + nb.n - common) >= {threshold}
 """
 
 
-def minhash_lsh_sql(n_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_cand_ctes(n_hashes: int, bands: int) -> str:
+    """The shared sig -> banded -> cand CTE chain of both minhash verifies
+    (mirrors operators/dedup.minhash_lsh_pairs candidate generation)."""
     rows = n_hashes // bands
     p = 2147483647
     sig_cols = ",\n  ".join(
@@ -243,7 +245,7 @@ def minhash_lsh_sql(n_hashes: int = 16, bands: int = 4, threshold: float = 0.5) 
         "concat_ws('_', " + ", ".join(f"h{b * rows + r}" for r in range(rows)) + ")"
         for b in range(bands)
     )
-    return "WITH " + _WORD_IDS + f""",
+    return _WORD_IDS + f""",
 sig AS (SELECT doc_id, {sig_cols} FROM tok_ids GROUP BY doc_id),
 banded AS (
   SELECT doc_id, band - 1 AS band, band_val FROM (
@@ -255,7 +257,28 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a JOIN banded b USING (band, band_val)
   WHERE a.doc_id < b.doc_id
-),
+)"""
+
+
+def minhash_sketch_sql(n_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """Mirror of minhash_lsh_pairs(verify='sketch'): jaccard estimated as
+    the matching-component fraction of the two signatures (exact multiples
+    of 1/n_hashes, so ROUND and the threshold compare are drift-free)."""
+    match_sum = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(n_hashes)
+    )
+    return "WITH " + _minhash_cand_ctes(n_hashes, bands) + f"""
+SELECT c.doc_a, c.doc_b,
+       ROUND(({match_sum}) / {float(n_hashes)}, 6) AS jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE ROUND(({match_sum}) / {float(n_hashes)}, 6) >= {threshold}
+"""
+
+
+def minhash_lsh_sql(n_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    return "WITH " + _minhash_cand_ctes(n_hashes, bands) + f""",
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM tokens GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common

@@ -255,3 +255,41 @@ def test_bpe_token_ids_consistent_with_counts(spark):
     assert all(counts[d] == 0 for d in set(counts) - set(per_doc))
     toks = {r.token_id for r in ids}
     assert toks == set(range(1, len(toks) + 1))
+
+
+def test_minhash_sketch_verify_accuracy(spark):
+    """verify='sketch' (the fixed-payload scale path) against verify='exact'
+    on the same corpus and candidate set: candidate generation is shared,
+    so sketch can only re-rank within candidates.  The estimator is
+    unbiased with 16 components, so on the sf0.001 fixture every strong
+    exact pair must survive and weak false accepts stay bounded; both
+    modes run in dictionary AND xxhash hashing."""
+    from osm_cycling_quality_index_spark.operators.dedup import (
+        minhash_lsh_pairs, release_session_pinned,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    for mode in ("dictionary", "xxhash"):
+        exact = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in minhash_lsh_pairs(d, mode=mode).collect()
+        }
+        sketch = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in minhash_lsh_pairs(d, mode=mode, verify="sketch").collect()
+        }
+        assert exact, "fixture must produce near-dup pairs"
+        # strong true pairs (exact jaccard >= 0.7) all survive the sketch
+        strong = {p for p, j in exact.items() if j >= 0.7}
+        missed = strong - set(sketch)
+        assert not missed, (mode, missed)
+        # recall over ALL exact pairs at the same threshold stays high
+        recall = len(set(exact) & set(sketch)) / len(exact)
+        assert recall >= 0.8, (mode, recall)
+        # sketch accepts only LSH candidates, and its estimates track the
+        # exact value on the overlap (unbiased, 1/16 granularity)
+        both = set(exact) & set(sketch)
+        err = max(abs(exact[p] - sketch[p]) for p in both)
+        assert err <= 0.35, (mode, err)
+    release_session_pinned(spark)
+    spark.catalog.clearCache()
