@@ -76,7 +76,24 @@ def tokenize(df: DataFrame, text_col: str = "text", kind: str = "word") -> DataF
     """(doc_id, word) distinct — lowercase whitespace tokens, or 3-word
     shingles (``kind='shingle'``).  Shingles are the scale path: a tiny
     vocabulary makes word-set similarity degenerate (every pair overlaps),
-    while the shingle space stays sparse."""
+    while the shingle space stays sparse.
+
+    The shingle transform is the most expensive per-row expression in the
+    dedup family, and a compact input (one parquet row group — the shape
+    every local fixture and many small-file corpora have) would run it at
+    the scan's parallelism: profiled at sf1, the WHOLE minhash pipeline
+    was 72 s of which 71 s was shingling on 2 cores.  When the input has
+    fewer partitions than the cluster has slots, fan it out first — the
+    shuffled payload is the raw text (paid once, before the ~50x shingle
+    row inflation), and every downstream consumer is an aggregate or a
+    value-derived bucket, so layout never affects results.  Inputs already
+    wider than the cluster (the 100-TB case) are left untouched."""
+    sc = df.sparkSession.sparkContext
+    try:
+        if df.rdd.getNumPartitions() < sc.defaultParallelism:
+            df = df.repartition(sc.defaultParallelism)
+    except Exception:
+        pass  # plan not RDD-convertible (e.g. pure streaming) — leave as-is
     # NOTE: empty tokens from repeated spaces are kept inside shingles
     # (the oracles mirror this); operators/quality._shingles is the
     # filtered-words variant — see its docstring before unifying them
