@@ -72,6 +72,28 @@ def release_session_pinned(spark) -> None:
     _SESSION_PINNED.clear()
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Repartition ``df`` to the cluster's defaultParallelism when its
+    current layout is narrower — the guard every operator whose per-row
+    expressions dominate its cost puts in front of that work.  A compact
+    input (one parquet row group: every local fixture, many small-file
+    corpora) otherwise pins the expensive map stage at the scan's
+    parallelism; profiled at sf1, minhash shingling ran 71 s on 2 cores
+    and 5 s after the fan-out.  The shuffled payload is the input as-is
+    (paid once, before any row inflation); inputs already at least as wide
+    as the cluster — the 100-TB case — are returned untouched, so this
+    never adds a shuffle at scale.  Only safe for consumers whose results
+    are layout-independent (aggregates, value-derived buckets — true for
+    every caller in this repo)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        if df.rdd.getNumPartitions() < sc.defaultParallelism:
+            return df.repartition(sc.defaultParallelism)
+    except Exception:
+        pass  # plan not RDD-convertible (e.g. pure streaming) — leave as-is
+    return df
+
+
 def tokenize(df: DataFrame, text_col: str = "text", kind: str = "word") -> DataFrame:
     """(doc_id, word) distinct — lowercase whitespace tokens, or 3-word
     shingles (``kind='shingle'``).  Shingles are the scale path: a tiny
@@ -88,12 +110,7 @@ def tokenize(df: DataFrame, text_col: str = "text", kind: str = "word") -> DataF
     row inflation), and every downstream consumer is an aggregate or a
     value-derived bucket, so layout never affects results.  Inputs already
     wider than the cluster (the 100-TB case) are left untouched."""
-    sc = df.sparkSession.sparkContext
-    try:
-        if df.rdd.getNumPartitions() < sc.defaultParallelism:
-            df = df.repartition(sc.defaultParallelism)
-    except Exception:
-        pass  # plan not RDD-convertible (e.g. pure streaming) — leave as-is
+    df = fan_out(df)
     # NOTE: empty tokens from repeated spaces are kept inside shingles
     # (the oracles mirror this); operators/quality._shingles is the
     # filtered-words variant — see its docstring before unifying them

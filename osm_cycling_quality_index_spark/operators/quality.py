@@ -51,12 +51,17 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     by total bigrams (0 below two words).  High values of either are the
     classic repetition-quality rejection signals for pretraining data.
     """
+    from .dedup import fan_out
+
     ws = _words(text_col)
     n = F.size(ws)
     dup = F.when(
         n > 0,
         F.round(1 - F.size(F.array_distinct(ws)) / n, 6),
     ).otherwise(F.lit(0.0))
+    # the split/array_distinct/bigram expressions dominate this operator's
+    # cost — don't let a one-row-group input pin them at scan parallelism
+    df = fan_out(df)
     base = df.select(
         "doc_id", ws.alias("ws"), n.alias("n_words"), dup.alias("dup_word_frac")
     ).persist()  # feeds the output join AND the bigram branch
