@@ -678,6 +678,8 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95) -> DataFrame:
     never ride a wide shuffle).  Output: (vec_a, vec_b, cos_sim)."""
     from .ann import cosine, hyperplane_buckets
 
+    # the hyperplane projections are per-row vector math — see fan_out
+    df = fan_out(df)
     b = hyperplane_buckets(df, n_planes=8).select("vec_id", "bucket")
     cand = (
         b.select(F.col("vec_id").alias("vec_a"), "bucket")
@@ -686,6 +688,15 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95) -> DataFrame:
         # no distinct: each vec_id carries exactly one bucket, so a pair can
         # match on at most one bucket — the dedup shuffle would be pure cost
         .select("vec_a", "vec_b")
+        # explicit-N repartition (which AQE never coalesces, unlike the
+        # bucket join's own output): candidate rows are two longs each, so
+        # AQE shrinks the join to a couple of byte-sized partitions — and
+        # the cosine verify Project downstream (the expensive stage: a
+        # 64-dim dot per candidate) inherits that width when the embedding
+        # sides attach by broadcast.  Profiled at sf1: 1.8 busy cores and
+        # 103 s before this; the ids-only shuffle this pins is noise at any
+        # scale, and keying it on vec_a lets a sort-merge attach reuse it.
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "vec_a")
     )
     ea = df.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = df.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
