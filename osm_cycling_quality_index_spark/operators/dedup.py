@@ -328,6 +328,14 @@ def minhash_lsh_pairs(
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        # explicit-N ids-only repartition: AQE coalesces the two-long
+        # candidate rows to a few byte-sized partitions, and the verify
+        # Project downstream (array_intersect over shingle sets — the
+        # expensive stage of the exact path) inherits that width when the
+        # per-doc side attaches by broadcast (same cliff as
+        # embedding_near_dups; see SF1.md).  Keyed on doc_a so a
+        # sort-merge attach can reuse the layout.
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "doc_a")
     )
     if verify == "sketch":
         # signature-agreement estimate: fixed-width payload (n_hashes
