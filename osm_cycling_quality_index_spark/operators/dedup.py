@@ -425,6 +425,16 @@ def hamming_near_pairs(
             ])
         ).alias("block", "block_val"),
     )
+    # explicit-N repartition on the join key: the block frames are a few
+    # small columns, so AQE coalesces their shuffles to a couple of
+    # partitions — and the self-join's fan-out (for near-dup CLUSTERS the
+    # output is quadratic per bucket: the sf1 image fixture emits 45M
+    # candidates) lands AFTER that coalescing, running the verify on ~2
+    # cores.  HashPartitioning(block, block_val, N) satisfies the join's
+    # requirement on both sides, so this adds no extra exchange — it only
+    # pins the width AQE would otherwise shrink.  sf1: 484 s -> see SF1.md.
+    n_part = sig.sparkSession.sparkContext.defaultParallelism
+    blocks = blocks.repartition(n_part, "block", "block_val")
     a = blocks.select(F.col(id_col).alias(out_a), h.alias("sh_a"), "block", "block_val")
     b = blocks.select(F.col(id_col).alias(out_b), h.alias("sh_b"), "block", "block_val")
     # verify BEFORE the dedup shuffle: the hamming test is map-side row
