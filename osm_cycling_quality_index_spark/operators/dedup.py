@@ -203,28 +203,117 @@ def ngram_jaccard_pairs(
     mode: str = "dictionary", kind: str = "shingle",
 ) -> DataFrame:
     """Near-duplicate pairs by Jaccard similarity over distinct 3-word
-    shingle sets (word sets with ``kind='word'``).
+    shingle sets (word sets with ``kind='word'``), with PREFIX FILTERING
+    (Chaudhuri et al. SSJoin / Bayardo et al. "Scaling Up All Pairs")
+    for candidate generation.
 
-    Candidate generation: self-equi-join on shared tokens (inverted index),
-    so cost is sum over tokens of df(token)^2 — not |docs|^2.  Output:
-    (doc_a, doc_b, common, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    A naive inverted-index self-join enumerates every pair sharing ANY
+    token and counts per pair — at sf1 that is 138M joined rows
+    collapsing to 113M pairs with near-zero map-side reduction, all for
+    250k survivors (profiled; see BENCH/SF1.md).  Prefix filtering uses
+    the exact containment property instead: order each doc's tokens by a
+    global total order (ascending document frequency, ties by value —
+    rarest first), keep only the first ``n - ceil(threshold*n) + 1`` as
+    its PREFIX; two sets with Jaccard >= threshold MUST share a prefix
+    token, so the equi-join over prefixes alone is candidate-complete.
+    Common/high-df boilerplate tokens never generate candidates.  The
+    surviving candidates are then verified exactly on the full shingle-id
+    sets — output is IDENTICAL to the naive plan: (doc_a, doc_b, common,
+    jaccard) with doc_a < doc_b, jaccard >= threshold.  PPJoin's length
+    and position filters (Xiao et al.) prune further, also exactly.
+    (``mode`` is accepted for signature stability but verification always
+    uses dictionary word ids — they are exactly unique per word, which the
+    count semantics require.)
     """
-    # tokenize fans out to three consumers (sizes, both join sides); persist
-    # at the boundary so the scan+shingle pass runs once, not per branch
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    # tokenize fans out (document-frequency aggregate, the word-id
+    # vocabulary, the ranked frame); persist at the boundary so the
+    # scan+shingle pass runs once
     toks = tokenize(df, text_col, kind).persist()
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = toks.select(F.col("doc_id").alias("doc_a"), "word")
-    b = toks.select(F.col("doc_id").alias("doc_b"), "word")
-    common = (
-        a.join(b, "word")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    pin_session(df.sparkSession, toks.unpersist)
+    # verify runs on integer word ids, not strings: the candidate set is
+    # millions of rows on clustered corpora, and int-array intersection is
+    # several times cheaper to ship and compute than string arrays.
+    # Dictionary ids are exactly unique per word, so counts are identical
+    # to counting the strings themselves.
+    idtoks = word_ids(toks, "dictionary")
+    dfreq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = idtoks.join(dfreq, "word").withColumn(
+        "i",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("_df", "word")),
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # full id sets + sizes for the exact verify, grouped on the window's
+    # own hash partitioning (no extra exchange).  The rank rides inside a
+    # struct and an explicit array_sort restores prefix order — relying
+    # on collect_list preserving the window's row order is not a
+    # documented contract
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "word_id"))),
+            lambda s: s["word_id"],
+        ).alias("wids"),
+        F.count(F.lit(1)).alias("n"),
+    ).persist()  # feeds the prefix explode and both verify sides
+    pin_session(df.sparkSession, per_doc.unpersist)
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    pref = (
+        per_doc.select(
+            "doc_id", "n",
+            F.posexplode(
+                F.slice(F.col("wids"), 1, prefix_len.cast("int"))
+            ).alias("i", "wid"),
+        )
+        # explicit-N keyed repartition: satisfies the self-join on both
+        # sides, replacing the byte-sized exchange AQE would otherwise
+        # shrink under the join's fan-out (the hamming_near_pairs lesson)
+        .repartition(n_part, "wid")
+    )
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"),
+        F.col("i").alias("ia"), "wid",
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"),
+        F.col("i").alias("ib"), "wid",
+    )
+    # PPJoin-style pruning (Xiao et al.), all exact-complete for Jaccard:
+    # length filter (sizes must satisfy t*na <= nb and vice versa) and
+    # position filter (the tokens remaining at/after the matched prefix
+    # position must be able to reach the required overlap
+    # alpha = ceil(t/(1+t) * (na+nb))).  ia/ib are 0-based positions, so
+    # remaining-including-current is n - i.
+    # the 1e-9 slack keeps double rounding from ever pushing a bound ABOVE
+    # its exact rational value: a too-small bound only admits an extra
+    # candidate (harmless — verify is exact), a too-large one would drop a
+    # true pair
+    alpha = F.ceil(
+        F.lit(threshold / (1 + threshold)) * (F.col("na") + F.col("nb")) - 1e-9
+    )
+    cand = (
+        a.join(b, "wid")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(F.col("nb") >= F.ceil(F.lit(threshold) * F.col("na") - 1e-9))
+        .where(F.col("na") >= F.ceil(F.lit(threshold) * F.col("nb") - 1e-9))
+        .where(
+            F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("ib")) >= alpha
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        # pin the verify Project's width (see minhash_lsh_pairs)
+        .repartition(n_part, "doc_a")
+    )
+    sa = per_doc.select(
+        F.col("doc_id").alias("doc_a"), F.col("wids").alias("wa"),
+        F.col("n").alias("na"),
+    )
+    sb = per_doc.select(
+        F.col("doc_id").alias("doc_b"), F.col("wids").alias("wb"),
+        F.col("n").alias("nb"),
+    )
+    common = F.size(F.array_intersect(F.col("wa"), F.col("wb"))).cast("long")
     jac = (
-        common.join(na, "doc_a").join(nb, "doc_b")
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("common", common)
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),

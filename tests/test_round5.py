@@ -293,3 +293,54 @@ def test_minhash_sketch_verify_accuracy(spark):
         assert err <= 0.35, (mode, err)
     release_session_pinned(spark)
     spark.catalog.clearCache()
+
+
+def test_jaccard_ppjoin_matches_brute_force(spark):
+    """The prefix-filtered + PPJoin-pruned jaccard operator returns
+    EXACTLY the naive all-pairs answer — candidate completeness of the
+    prefix/length/position filters, on an adversarial mix of lengths
+    (including docs below the shingle minimum, exact duplicates, subset
+    relations and near-boundary sizes), for both token kinds."""
+    from osm_cycling_quality_index_spark.operators.dedup import (
+        ngram_jaccard_pairs, release_session_pinned,
+    )
+
+    base = ["red green blue cyan", "red green blue cyan magenta",
+            "one two three four five six seven eight",
+            "alpha beta", "alpha", ""]
+    rows = []
+    for i in range(48):
+        t = base[i % len(base)]
+        if i % 5 == 0:
+            t = t + f" extra{i % 7} pad{i % 3} tail"
+        if i % 11 == 0:
+            t = "zz " + t
+        rows.append((i, t))
+    sdf = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    for kind, thr in (("word", 0.5), ("shingle", 0.5), ("word", 0.7)):
+        def toks(t):
+            ws = [w for w in t.lower().split(" ") if w != ""]
+            if kind == "word":
+                return set(ws)
+            allw = t.lower().split(" ")
+            return {" ".join(allw[j:j + 3]) for j in range(len(allw) - 2)
+                    if " ".join(allw[j:j + 3]) != ""} if len(allw) >= 3 else set()
+
+        want = set()
+        for i, ti in rows:
+            for j, tj in rows:
+                if i >= j:
+                    continue
+                a, b = toks(ti), toks(tj)
+                c = len(a & b)
+                u = len(a | b)
+                if u and c / u >= thr:
+                    want.add((i, j, c, round(c / u, 6)))
+        got = {
+            (r.doc_a, r.doc_b, r.common, r.jaccard)
+            for r in ngram_jaccard_pairs(sdf, threshold=thr, kind=kind).collect()
+        }
+        assert got == want, (kind, thr, got ^ want)
+    release_session_pinned(spark)
+    spark.catalog.clearCache()
