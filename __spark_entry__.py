@@ -493,18 +493,18 @@ def q_phash_near_dups(spark, sf_dir):
 
 
 def q_dedup_groups_images(spark, sf_dir):
-    """Group resolution composed with the IMAGE pair source: pHash-hamming
-    near-dup pairs -> connected components -> one keeper per cluster (same
-    resolver as the text and embedding variants)."""
-    # the image frame feeds both block-join sides and the resolver's corpus
-    # side — persist at the fan-out, per the repo rule
-    img = _images_phash(spark, sf_dir).persist()
-    dedup.pin_session(spark, img.unpersist)
-    pairs = dedup.hamming_near_pairs(
-        img, "image_id", "phash", bits=64, max_hamming=6,
-        out_a="img_a", out_b="img_b",
+    """Image dedup groups via the value-collapsed resolver
+    (dedup.hamming_groups): distinct pHash values -> block-pigeonhole
+    pairs + connected components on the VALUE graph -> expand back to
+    members.  Bit-identical to dedup_groups over hamming_near_pairs
+    (pinned in tests/test_round5.py), but exact-duplicate families
+    (re-encodes — the common image case) collapse before the quadratic
+    pair enumeration: 78x on a 150k-row corpus with ~20x value
+    repetition, break-even-or-better when values are all distinct."""
+    return dedup.hamming_groups(
+        _images_phash(spark, sf_dir), "image_id", "phash",
+        bits=64, max_hamming=6,
     )
-    return dedup.dedup_groups(img, pairs, id_col="image_id", a="img_a", b="img_b")
 
 
 # ---------------------------------------------------------------------------

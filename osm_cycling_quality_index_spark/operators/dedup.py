@@ -775,6 +775,86 @@ def dedup_groups(
     )
 
 
+def hamming_groups(
+    sig: DataFrame, id_col: str = "image_id", hash_col: str = "phash",
+    bits: int = 64, max_hamming: int = 6, max_iter: int = 25,
+    release: list | None = None,
+) -> DataFrame:
+    """Dedup GROUPS over a signature column WITHOUT enumerating member-level
+    pairs: the value-collapsed scale path for corpora with exact-duplicate
+    families (re-encodes, mirrored uploads — the common image case).
+
+    Hamming adjacency is a function of the signature VALUES alone, so rows
+    sharing a value are interchangeable graph vertices.  This resolver
+    therefore (1) collapses the corpus to its DISTINCT signature values,
+    (2) enumerates near-dup pairs and runs connected components on that
+    value graph, and (3) expands each value's component back to the member
+    rows with one equi-join, remapping labels to the minimum corpus member
+    exactly like :func:`dedup_groups`.  The result is bit-identical to
+    ``dedup_groups(sig, hamming_near_pairs(sig, ...))`` — image components
+    are precisely the preimages of value components, because same-value
+    rows are pairwise at distance 0 and cross-value edges depend only on
+    the two values — but the quadratic pair enumeration now runs on
+    ``|distinct values|`` vertices instead of ``|rows|``: a corpus where
+    the average value repeats r times does (1/r^2) of the candidate work
+    and CC sees (1/r^2) of the edges.  With all-distinct values it
+    degrades gracefully to the pair path plus one ids-only distinct.
+
+    Output and storage contract match :func:`dedup_groups`:
+    ``(id_col, group_id, n_members, is_keeper)``, one row per corpus row;
+    one cleanup callable is appended to ``release`` (or registered for
+    :func:`release_session_pinned`).
+    """
+    spark = sig.sparkSession
+    # the distinct-value frame feeds both block-join sides AND the
+    # component map — persist at the fan-out, per the repo rule
+    vals = sig.select(hash_col).distinct().persist()
+    vpairs = hamming_near_pairs(
+        vals.select(F.col(hash_col).alias("_vid"), hash_col),
+        "_vid", hash_col, bits, max_hamming,
+        out_a="val_a", out_b="val_b",
+    )
+    cc_ids: list = []
+    cc = connected_components(vpairs, "val_a", "val_b", max_iter,
+                              release_ids=cc_ids)
+    # values with no near neighbour keep themselves as component; members
+    # sharing such a value still land in one group through the expand join
+    comp = (
+        vals.join(cc.withColumnRenamed("node", hash_col), hash_col, "left")
+        .select(hash_col,
+                F.coalesce("component", F.col(hash_col)).alias("_comp"))
+    )
+    members = sig.select(id_col, hash_col).join(comp, hash_col)
+    remap = members.groupBy("_comp").agg(F.min(id_col).alias("group_id"))
+    labelled = (
+        members.join(remap, "_comp")
+        .select(id_col, "group_id")
+        .persist()  # fans out to the size aggregate AND the output join
+    )
+    sizes = labelled.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+    def _cleanup(spark=spark, ids=cc_ids, frames=(vals, labelled)):
+        for fr in frames:
+            fr.unpersist()
+        release_checkpoint_ids(spark, ids)
+
+    if release is not None:
+        release.append(_cleanup)
+    else:
+        pin_session(spark, _cleanup)
+    return (
+        labelled.join(sizes, "group_id")
+        .select(
+            id_col,
+            "group_id",
+            "n_members",
+            (F.col(id_col) == F.col("group_id")).cast("int").alias("is_keeper"),
+        )
+    )
+
+
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicates over (vec_id, embedding array<float>).
 

@@ -344,3 +344,80 @@ def test_jaccard_ppjoin_matches_brute_force(spark):
         assert got == want, (kind, thr, got ^ want)
     release_session_pinned(spark)
     spark.catalog.clearCache()
+
+
+def test_hamming_groups_value_path_equals_pair_path(spark):
+    """hamming_groups (value-collapsed CC) is bit-identical to
+    dedup_groups over hamming_near_pairs on two corpus shapes: (a) the
+    sf0.01 image fixture, whose signatures are nearly all distinct — the
+    collapse's degenerate worst case — and (b) an exact-dup-heavy corpus
+    where every value repeats ~20x (the realistic re-encode case the
+    collapse exists for), cross-checked against a python union-find over
+    the brute-force pair set."""
+    import __spark_entry__ as E
+    from osm_cycling_quality_index_spark.operators import dedup
+
+    def groups(df):
+        return sorted(
+            (r.image_id, r.group_id, r.n_members, r.is_keeper)
+            for r in df.collect()
+        )
+
+    release = []
+
+    # (a) fixture: near-all-distinct values
+    img = E._images_phash(spark, SF01)
+    pairs = dedup.hamming_near_pairs(
+        img, "image_id", "phash", bits=64, max_hamming=6,
+        out_a="img_a", out_b="img_b",
+    )
+    pair_path = groups(dedup.dedup_groups(
+        img, pairs, id_col="image_id", a="img_a", b="img_b",
+        release=release,
+    ))
+    val_path = groups(dedup.hamming_groups(
+        img, "image_id", "phash", bits=64, max_hamming=6, release=release,
+    ))
+    assert pair_path == val_path
+
+    # (b) exact-dup-heavy: 20 distinct values x ~20 members each, values
+    # chained into hamming clusters (so groups span several values)
+    rows = []
+    vid = 0
+    for c in range(5):
+        base = (c * 0x9E3779B97F4A7C15) & _M64
+        for v in range(4):
+            val = base ^ ((1 << (3 * v)) - 1)  # 0,3,6,9 bits from base
+            for m in range(20 - v):
+                rows.append((vid, val))
+                vid += 1
+    sdf = spark.createDataFrame(
+        [(i, _signed(h)) for i, h in rows], "image_id BIGINT, phash BIGINT"
+    )
+    got = groups(dedup.hamming_groups(
+        sdf, "image_id", "phash", bits=64, max_hamming=6, release=release,
+    ))
+    # python union-find truth over the brute-force pair set
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in _brute_pairs(rows, 6):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i, _ in rows:
+        comp.setdefault(find(i), []).append(i)
+    want = sorted(
+        (i, min(members), len(members), int(i == min(members)))
+        for members in comp.values() for i in members
+    )
+    assert got == want
+    for cb in release:
+        cb()
+    spark.catalog.clearCache()
