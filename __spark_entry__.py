@@ -544,6 +544,19 @@ def q_dedup_groups(spark, sf_dir):
     return dedup.dedup_groups(emb, pairs, id_col="vec_id", a="vec_a", b="vec_b")
 
 
+def q_dedup_groups_collapsed(spark, sf_dir):
+    """Embedding dedup groups via the exact-duplicate-collapse resolver
+    (dedup.embedding_groups): distinct vectors -> sign-LSH pairs +
+    connected components on representatives -> ids-only expand.
+    Bit-identical to q_dedup_groups (pinned in tests/test_round5.py;
+    same recursive-CTE oracle); duplicate rows — identical upstream
+    content producing identical embeddings — stop multiplying the
+    O(r^2) LSH-bucket candidate work."""
+    return dedup.embedding_groups(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
 def q_dedup_groups_text(spark, sf_dir):
     """Group resolution composed with the TEXT pair source: minhash-LSH
     near-dup pairs on documents -> connected components -> one keeper per
@@ -555,6 +568,18 @@ def q_dedup_groups_text(spark, sf_dir):
     dedup.pin_session(spark, d.unpersist)
     pairs = dedup.minhash_lsh_pairs(d)
     return dedup.dedup_groups(d, pairs, id_col="doc_id", a="doc_a", b="doc_b")
+
+
+def q_dedup_groups_text_collapsed(spark, sf_dir):
+    """Text dedup groups via the exact-duplicate-collapse resolver
+    (dedup.minhash_groups): distinct texts -> minhash-LSH pairs +
+    connected components on representatives -> expand through the
+    (id, rep) mapping.  Bit-identical to q_dedup_groups_text (pinned in
+    tests/test_round5.py; same recursive-CTE oracle), but a corpus whose
+    duplication is exact copies — the dominant web-crawl case — does
+    (1/r^2) of the shingle/band/verify work for repetition factor r:
+    12x on a 50k-doc corpus with 100 copies per text."""
+    return dedup.minhash_groups(_docs(spark, sf_dir))
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -616,7 +641,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_buckets": q_ann_buckets,
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_groups": q_dedup_groups,
+        "dedup_groups_collapsed": q_dedup_groups_collapsed,
         "dedup_groups_text": q_dedup_groups_text,
+        "dedup_groups_text_collapsed": q_dedup_groups_text_collapsed,
         "phash_near_dups": q_phash_near_dups,
         "dedup_groups_images": q_dedup_groups_images,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -661,7 +688,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_buckets": O.ann_buckets_sql(),
         "embedding_near_dups": O.embedding_near_dups_sql(threshold=0.35),
         "dedup_groups": O.dedup_groups_sql(threshold=0.3),
+        "dedup_groups_collapsed": O.dedup_groups_sql(threshold=0.3),
         "dedup_groups_text": O.dedup_groups_text_sql(),
+        "dedup_groups_text_collapsed": O.dedup_groups_text_sql(),
         "phash_near_dups": O.phash_near_dups_sql(),
         "dedup_groups_images": O.dedup_groups_images_sql(),
         # the LSH approximation is deterministic (fixed hyperplanes), so it

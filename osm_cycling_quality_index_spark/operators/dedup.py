@@ -709,6 +709,47 @@ def connected_components(
     return labels.select("node", "component")
 
 
+def _finish_groups(
+    members: DataFrame, id_col: str, cc_ids: list,
+    extra_frames: tuple = (), release: list | None = None,
+) -> DataFrame:
+    """Shared tail of every group resolver: remap each component label to
+    its minimum corpus member, attach group sizes, emit
+    ``(id_col, group_id, n_members, is_keeper)`` and register one cleanup
+    for the persisted frames + CC checkpoint blocks.  ``members`` is one
+    row per corpus row with its raw component label in ``_comp``."""
+    spark = members.sparkSession
+    remap = members.groupBy("_comp").agg(F.min(id_col).alias("group_id"))
+    labelled = (
+        members.join(remap, "_comp")
+        .select(id_col, "group_id")
+        .persist()  # fans out to the size aggregate AND the output join
+    )
+    sizes = labelled.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+    def _cleanup(spark=spark, ids=cc_ids,
+                 frames=(labelled,) + tuple(extra_frames)):
+        for fr in frames:
+            fr.unpersist()
+        release_checkpoint_ids(spark, ids)
+
+    if release is not None:
+        release.append(_cleanup)
+    else:
+        pin_session(spark, _cleanup)
+    return (
+        labelled.join(sizes, "group_id")
+        .select(
+            id_col,
+            "group_id",
+            "n_members",
+            (F.col(id_col) == F.col("group_id")).cast("int").alias("is_keeper"),
+        )
+    )
+
+
 def dedup_groups(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     a: str = "doc_a", b: str = "doc_b", max_iter: int = 25,
@@ -746,33 +787,8 @@ def dedup_groups(
     # remap each component label to its minimum CORPUS member (the raw CC
     # label may be a non-corpus pair endpoint); components with no corpus
     # member simply vanish with the join
-    remap = corpus_comp.groupBy("_comp").agg(F.min("node").alias("group_id"))
-    labelled = (
-        corpus_comp.join(remap, "_comp")
-        .select(F.col("node").alias(id_col), "group_id")
-        .persist()  # fans out to the size aggregate AND the output join
-    )
-    sizes = labelled.groupBy("group_id").agg(
-        F.count(F.lit(1)).alias("n_members")
-    )
-
-    def _cleanup(spark=df.sparkSession, ids=cc_ids, frame=labelled):
-        frame.unpersist()
-        release_checkpoint_ids(spark, ids)
-
-    if release is not None:
-        release.append(_cleanup)
-    else:
-        pin_session(df.sparkSession, _cleanup)
-    return (
-        labelled.join(sizes, "group_id")
-        .select(
-            id_col,
-            "group_id",
-            "n_members",
-            (F.col(id_col) == F.col("group_id")).cast("int").alias("is_keeper"),
-        )
-    )
+    members = corpus_comp.select(F.col("node").alias(id_col), "_comp")
+    return _finish_groups(members, id_col, cc_ids, release=release)
 
 
 def hamming_groups(
@@ -824,35 +840,128 @@ def hamming_groups(
         .select(hash_col,
                 F.coalesce("component", F.col(hash_col)).alias("_comp"))
     )
-    members = sig.select(id_col, hash_col).join(comp, hash_col)
-    remap = members.groupBy("_comp").agg(F.min(id_col).alias("group_id"))
-    labelled = (
-        members.join(remap, "_comp")
-        .select(id_col, "group_id")
-        .persist()  # fans out to the size aggregate AND the output join
-    )
-    sizes = labelled.groupBy("group_id").agg(
-        F.count(F.lit(1)).alias("n_members")
-    )
+    members = sig.select(id_col, hash_col).join(comp, hash_col) \
+        .select(id_col, "_comp")
+    return _finish_groups(members, id_col, cc_ids,
+                          extra_frames=(vals,), release=release)
 
-    def _cleanup(spark=spark, ids=cc_ids, frames=(vals, labelled)):
-        for fr in frames:
-            fr.unpersist()
-        release_checkpoint_ids(spark, ids)
 
-    if release is not None:
-        release.append(_cleanup)
-    else:
-        pin_session(spark, _cleanup)
-    return (
-        labelled.join(sizes, "group_id")
-        .select(
-            id_col,
-            "group_id",
-            "n_members",
-            (F.col(id_col) == F.col("group_id")).cast("int").alias("is_keeper"),
-        )
+def minhash_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_hashes: int = 16, bands: int = 4, threshold: float = 0.5,
+    mode: str = "dictionary", verify: str = "exact", max_iter: int = 25,
+    release: list | None = None,
+) -> DataFrame:
+    """Text dedup GROUPS with exact-duplicate collapse — the value-level
+    resolver for text corpora, analogous to :func:`hamming_groups`.
+
+    Web-scale corpora are dominated by EXACT duplicates (mirrors,
+    boilerplate, re-crawls); running the minhash pipeline over every copy
+    shingles, signs and band-joins the same text r times and grinds
+    O(r^2) candidate pairs per duplicated text.  Both the LSH banding and
+    the Jaccard verify are functions of the TEXT value alone, so this
+    resolver (1) collapses each distinct text to its minimum-id
+    representative with one window over the text partition, (2) runs
+    :func:`minhash_lsh_pairs` + connected components on representatives
+    only, and (3) expands components back through the (id, rep) mapping —
+    ids-only from there on.
+
+    Bit-identical to ``dedup_groups(df, minhash_lsh_pairs(df))`` (pinned
+    in tests/test_round5.py): same-text docs are always pairwise near-dups
+    in the pair path (identical shingle sets share every band and verify
+    at Jaccard 1), and cross-text edges depend only on the two texts.
+    The ONE caveat is docs that produce no shingles (fewer than 3
+    whitespace tokens, or NULL) — the pair pipeline leaves every such doc
+    a singleton even when texts are equal, so the collapse must exclude
+    them: eligibility below mirrors ``tokenize``'s participation rule
+    exactly (``size(split(lower(text), ' ')) >= 3``; any 3-window over a
+    >=3-token split emits a non-empty shingle, since ``concat_ws`` keeps
+    empty strings).
+
+    Output and storage contract match :func:`dedup_groups`."""
+    ws = F.split(F.lower(F.col(text_col)), " ")
+    eligible = F.size(ws) >= 3
+    # eligibility is a function of the text, so every row of a window
+    # partition agrees on it and the min is over exactly the same-text docs
+    rep = F.when(
+        eligible, F.min(id_col).over(Window.partitionBy(text_col))
+    ).otherwise(F.col(id_col))
+    # one full-text shuffle (the window), then ids-only; persisted because
+    # it fans out to the representative corpus AND the expand mapping
+    keyed = df.select(id_col, text_col).withColumn("_rep", rep).persist()
+    reps = (
+        keyed.where(eligible & (F.col(id_col) == F.col("_rep")))
+        .select(F.col(id_col).alias("doc_id"), text_col)
     )
+    pairs = minhash_lsh_pairs(
+        reps, n_hashes, bands, threshold, text_col, mode, verify
+    )
+    cc_ids: list = []
+    cc = connected_components(pairs, "doc_a", "doc_b", max_iter,
+                              release_ids=cc_ids)
+    # representatives absent from the pair graph keep themselves; every
+    # doc inherits its representative's component through the mapping
+    members = (
+        keyed.select(id_col, "_rep")
+        .join(cc.withColumnRenamed("node", "_rep"), "_rep", "left")
+        .select(id_col,
+                F.coalesce("component", F.col("_rep")).alias("_comp"))
+    )
+    return _finish_groups(members, id_col, cc_ids,
+                          extra_frames=(keyed,), release=release)
+
+
+def embedding_groups(
+    df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding",
+    threshold: float = 0.95, max_iter: int = 25,
+    release: list | None = None,
+) -> DataFrame:
+    """Embedding dedup GROUPS with exact-duplicate collapse — the third
+    value-level resolver (images: :func:`hamming_groups`, text:
+    :func:`minhash_groups`).  Duplicate source rows produce bit-identical
+    embeddings, so collapsing to one representative per distinct vector
+    before the LSH-bucket self-join removes the O(r^2) candidate blow-up
+    of r-fold duplication.
+
+    Bit-identical to ``dedup_groups(df, embedding_near_dups(df))``
+    (pinned in tests/test_round5.py): equal vectors always share a
+    hyperplane bucket and verify at cosine 1.  The rows the pair
+    pipeline can never pair — NULL embeddings (the bucket equi-join
+    drops the NULL key) and zero-norm vectors (no defined cosine;
+    embedding_near_dups excludes them rather than tripping ANSI
+    divide-by-zero mid-job) — are excluded from the collapse and stay
+    singletons.  Eligibility is a function of the value, so same-vector
+    rows always agree on it.  (NaN-component vectors remain eligible:
+    Spark orders NaN above every number, so they bucket and verify
+    consistently in both paths.)"""
+    sumsq = F.aggregate(
+        F.col(emb_col), F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    eligible = F.col(emb_col).isNotNull() & (sumsq > 0)
+    rep = F.when(
+        eligible, F.min(id_col).over(Window.partitionBy(emb_col))
+    ).otherwise(F.col(id_col))
+    # one vector-payload shuffle (the window), ids-only afterwards;
+    # persisted because it fans out to the representative corpus AND the
+    # expand mapping
+    keyed = df.select(id_col, emb_col).withColumn("_rep", rep).persist()
+    reps = (
+        keyed.where(eligible & (F.col(id_col) == F.col("_rep")))
+        .select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
+    )
+    pairs = embedding_near_dups(reps, threshold)
+    cc_ids: list = []
+    cc = connected_components(pairs, "vec_a", "vec_b", max_iter,
+                              release_ids=cc_ids)
+    members = (
+        keyed.select(id_col, "_rep")
+        .join(cc.withColumnRenamed("node", "_rep"), "_rep", "left")
+        .select(id_col,
+                F.coalesce("component", F.col("_rep")).alias("_comp"))
+    )
+    return _finish_groups(members, id_col, cc_ids,
+                          extra_frames=(keyed,), release=release)
 
 
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95) -> DataFrame:
@@ -865,6 +974,18 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95) -> DataFrame:
     never ride a wide shuffle).  Output: (vec_a, vec_b, cos_sim)."""
     from .ann import cosine, hyperplane_buckets
 
+    # zero-norm vectors have no defined cosine — under Spark 4's default
+    # ANSI mode the division would THROW mid-job, so they are excluded
+    # from candidacy up front (and stay singletons in the group
+    # resolvers).  NaN-norm rows pass the predicate (Spark orders NaN
+    # above every number) and verify to NaN >= threshold — also true
+    # under the same ordering — which keeps the filter from silently
+    # hiding malformed embeddings.
+    sumsq = F.aggregate(
+        F.col("embedding"), F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    df = df.where(sumsq > 0)
     # the hyperplane projections are per-row vector math — see fan_out
     df = fan_out(df)
     b = hyperplane_buckets(df, n_planes=8).select("vec_id", "bucket")

@@ -421,3 +421,130 @@ def test_hamming_groups_value_path_equals_pair_path(spark):
     for cb in release:
         cb()
     spark.catalog.clearCache()
+
+
+def test_minhash_groups_collapse_equals_pair_path(spark):
+    """minhash_groups (exact-duplicate collapse) is bit-identical to
+    dedup_groups over minhash_lsh_pairs on (a) the sf0.01 documents
+    fixture and (b) a dup-heavy corpus with the short-text edge cases the
+    collapse must NOT merge: identical 2-word texts, empty and NULL texts
+    (all singletons in the pair path — fewer than 3 whitespace tokens
+    produce no shingles), plus identical and near-dup eligible texts."""
+    from osm_cycling_quality_index_spark.operators import dedup
+
+    def groups(df):
+        return sorted(
+            (r.doc_id, r.group_id, r.n_members, r.is_keeper)
+            for r in df.collect()
+        )
+
+    release = []
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").select(
+        "doc_id", "text"
+    ).persist()
+    pair_path = groups(dedup.dedup_groups(
+        docs, dedup.minhash_lsh_pairs(docs), release=release,
+    ))
+    val_path = groups(dedup.minhash_groups(docs, release=release))
+    assert pair_path == val_path
+    docs.unpersist()
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the woods tonight")
+    near = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the woods tomorrow")
+    rows = []
+    for i in range(30):
+        rows.append((i, base))           # 30 exact copies
+    for i in range(30, 40):
+        rows.append((i, near))           # near-dups of the base family
+    for i in range(40, 50):
+        rows.append((i, "hello world"))  # identical but shingle-less
+    rows += [(50, ""), (51, ""), (52, None), (53, None), (54, "one"),
+             (55, "totally different text with many extra words here "
+                  "that overlap nothing else at all in this corpus")]
+    sdf = spark.createDataFrame(rows, "doc_id BIGINT, text STRING").persist()
+    pair_path = groups(dedup.dedup_groups(
+        sdf, dedup.minhash_lsh_pairs(sdf), release=release,
+    ))
+    val_path = groups(dedup.minhash_groups(sdf, release=release))
+    assert pair_path == val_path
+    # the shingle-less identical texts must all be singletons
+    singles = [r for r in val_path if r[0] in range(40, 55)]
+    assert all(n == 1 and k == 1 and g == d for d, g, n, k in singles)
+    # the exact+near family collapses into one 40-member group
+    fam = [r for r in val_path if r[0] < 40]
+    assert all(g == 0 and n == 40 for _, g, n, _ in fam)
+    sdf.unpersist()
+    for cb in release:
+        cb()
+    dedup.release_session_pinned(spark)
+    spark.catalog.clearCache()
+
+
+def test_embedding_groups_collapse_equals_pair_path(spark):
+    """embedding_groups (exact-duplicate collapse) is bit-identical to
+    dedup_groups over embedding_near_dups on (a) the sf0.01 embeddings
+    fixture and (b) a corpus with duplicated vectors plus the edge rows:
+    NULL embeddings (the bucket equi-join drops the NULL key) and
+    identical zero vectors (no defined cosine; ANSI mode would throw on
+    the division, so embedding_near_dups excludes them) — all of which
+    must stay singletons in both paths."""
+    from osm_cycling_quality_index_spark.operators import dedup
+
+    def groups(df):
+        return sorted(
+            (r.vec_id, r.group_id, r.n_members, r.is_keeper)
+            for r in df.collect()
+        )
+
+    release = []
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).persist()
+    pair_path = groups(dedup.dedup_groups(
+        emb, dedup.embedding_near_dups(emb, threshold=0.3),
+        id_col="vec_id", a="vec_a", b="vec_b", release=release,
+    ))
+    val_path = groups(dedup.embedding_groups(
+        emb, threshold=0.3, release=release,
+    ))
+    assert pair_path == val_path
+    emb.unpersist()
+
+    base = [float(i % 7) - 3.0 for i in range(16)]
+    near = list(base); near[0] += 0.01
+    far = [float((i * 31) % 11) - 5.0 for i in range(16)]
+    rows = []
+    for i in range(20):
+        rows.append((i, base))            # 20 exact copies
+    for i in range(20, 25):
+        rows.append((i, near))            # near-dups of the base family
+    for i in range(25, 30):
+        rows.append((i, far))             # separate exact-dup family
+    rows += [(30, [0.0] * 16), (31, [0.0] * 16),   # identical zero vectors
+             (32, None), (33, None)]               # NULL embeddings
+    sdf = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    ).persist()
+    pair_path = groups(dedup.dedup_groups(
+        sdf, dedup.embedding_near_dups(sdf, threshold=0.3),
+        id_col="vec_id", a="vec_a", b="vec_b", release=release,
+    ))
+    val_path = groups(dedup.embedding_groups(
+        sdf, threshold=0.3, release=release,
+    ))
+    assert pair_path == val_path
+    by_id = {d: (g, n) for d, g, n, _ in val_path}
+    assert by_id[0] == (0, 25)            # base + near family collapses
+    assert by_id[25] == (25, 5)           # far family separate
+    # zero-norm and NULL rows are unpairable -> singletons in both paths
+    for v in (30, 31, 32, 33):
+        assert by_id[v] == (v, 1)
+    sdf.unpersist()
+    for cb in release:
+        cb()
+    dedup.release_session_pinned(spark)
+    spark.catalog.clearCache()
