@@ -717,20 +717,23 @@ def _finish_groups(
     its minimum corpus member, attach group sizes, emit
     ``(id_col, group_id, n_members, is_keeper)`` and register one cleanup
     for the persisted frames + CC checkpoint blocks.  ``members`` is one
-    row per corpus row with its raw component label in ``_comp``."""
+    row per corpus row with its raw component label in ``_comp``.
+
+    group_id and n_members are BOTH per-component statistics (group_id ↔
+    _comp is a bijection over corpus components), so one hash aggregate
+    on ``_comp`` computes the remap AND the sizes — partial-agg
+    (map-side) and skew-safe, unlike a window over the component, whose
+    unbounded frame buffers a whole component in one partition; a
+    degenerate giant cluster (the empty-document component of a real
+    crawl) must not be able to OOM the resolver.  The component frame is
+    small and re-attaches by one equi-join AQE can broadcast."""
     spark = members.sparkSession
-    remap = members.groupBy("_comp").agg(F.min(id_col).alias("group_id"))
-    labelled = (
-        members.join(remap, "_comp")
-        .select(id_col, "group_id")
-        .persist()  # fans out to the size aggregate AND the output join
-    )
-    sizes = labelled.groupBy("group_id").agg(
-        F.count(F.lit(1)).alias("n_members")
+    per_comp = members.groupBy("_comp").agg(
+        F.min(id_col).alias("group_id"),
+        F.count(F.lit(1)).alias("n_members"),
     )
 
-    def _cleanup(spark=spark, ids=cc_ids,
-                 frames=(labelled,) + tuple(extra_frames)):
+    def _cleanup(spark=spark, ids=cc_ids, frames=tuple(extra_frames)):
         for fr in frames:
             fr.unpersist()
         release_checkpoint_ids(spark, ids)
@@ -740,7 +743,7 @@ def _finish_groups(
     else:
         pin_session(spark, _cleanup)
     return (
-        labelled.join(sizes, "group_id")
+        members.join(per_comp, "_comp")
         .select(
             id_col,
             "group_id",
