@@ -825,6 +825,15 @@ def hamming_groups(
     :func:`release_session_pinned`).
     """
     spark = sig.sparkSession
+    # NULL signatures can never pair (the block equi-join drops the NULL
+    # key), so the pair path leaves each such row its own singleton; the
+    # collapse must do the same — routed around the value join below
+    # (an equi-join would DROP them; a coalesce-to-NULL _comp would merge
+    # them into one bogus group)
+    sig_null = sig.where(F.col(hash_col).isNull()).select(
+        id_col, F.col(id_col).alias("_comp")
+    )
+    sig = sig.where(F.col(hash_col).isNotNull())
     # the distinct-value frame feeds both block-join sides AND the
     # component map — persist at the fan-out, per the repo rule
     vals = sig.select(hash_col).distinct().persist()
@@ -844,7 +853,7 @@ def hamming_groups(
                 F.coalesce("component", F.col(hash_col)).alias("_comp"))
     )
     members = sig.select(id_col, hash_col).join(comp, hash_col) \
-        .select(id_col, "_comp")
+        .select(id_col, "_comp").unionByName(sig_null)
     return _finish_groups(members, id_col, cc_ids,
                           extra_frames=(vals,), release=release)
 

@@ -391,12 +391,22 @@ def test_hamming_groups_value_path_equals_pair_path(spark):
             for m in range(20 - v):
                 rows.append((vid, val))
                 vid += 1
+    null_ids = [900, 901]  # NULL signatures: unpairable, one singleton EACH
     sdf = spark.createDataFrame(
-        [(i, _signed(h)) for i, h in rows], "image_id BIGINT, phash BIGINT"
-    )
+        [(i, _signed(h)) for i, h in rows] + [(i, None) for i in null_ids],
+        "image_id BIGINT, phash BIGINT"
+    ).persist()
+    pair_truth = groups(dedup.dedup_groups(
+        sdf,
+        dedup.hamming_near_pairs(sdf, "image_id", "phash", bits=64,
+                                 max_hamming=6, out_a="img_a", out_b="img_b"),
+        id_col="image_id", a="img_a", b="img_b", release=release,
+    ))
     got = groups(dedup.hamming_groups(
         sdf, "image_id", "phash", bits=64, max_hamming=6, release=release,
     ))
+    assert got == pair_truth
+    sdf.unpersist()
     # python union-find truth over the brute-force pair set
     parent = {i: i for i, _ in rows}
 
@@ -414,8 +424,9 @@ def test_hamming_groups_value_path_equals_pair_path(spark):
     for i, _ in rows:
         comp.setdefault(find(i), []).append(i)
     want = sorted(
-        (i, min(members), len(members), int(i == min(members)))
-        for members in comp.values() for i in members
+        [(i, min(members), len(members), int(i == min(members)))
+         for members in comp.values() for i in members]
+        + [(i, i, 1, 1) for i in null_ids]
     )
     assert got == want
     for cb in release:
