@@ -728,12 +728,16 @@ def _finish_groups(
     crawl) must not be able to OOM the resolver.  The component frame is
     small and re-attaches by one equi-join AQE can broadcast."""
     spark = members.sparkSession
+    # members feeds the component aggregate AND the output join (and when
+    # per_comp attaches by broadcast there is no shared exchange for
+    # ReuseExchange to dedup) — persist at the fan-out, per the repo rule
+    members = members.persist()
     per_comp = members.groupBy("_comp").agg(
         F.min(id_col).alias("group_id"),
         F.count(F.lit(1)).alias("n_members"),
     )
 
-    def _cleanup(spark=spark, ids=cc_ids, frames=tuple(extra_frames)):
+    def _cleanup(spark=spark, ids=cc_ids, frames=(members,) + tuple(extra_frames)):
         for fr in frames:
             fr.unpersist()
         release_checkpoint_ids(spark, ids)
@@ -825,18 +829,30 @@ def hamming_groups(
     :func:`release_session_pinned`).
     """
     spark = sig.sparkSession
+    # the input feeds the NULL branch, the distinct-value frame and the
+    # member expand join — persist at the fan-out, per the repo rule (for
+    # real data the signature column sits on top of the decode+pHash
+    # pipeline, the most expensive stage; re-persisting an
+    # already-persisted plan is a Spark no-op)
+    sig = sig.persist()
     # NULL signatures can never pair (the block equi-join drops the NULL
     # key), so the pair path leaves each such row its own singleton; the
     # collapse must do the same — routed around the value join below
     # (an equi-join would DROP them; a coalesce-to-NULL _comp would merge
-    # them into one bogus group)
+    # them into one bogus group).  The component label is TAGGED with its
+    # namespace: value-graph labels live in signature-value space while
+    # the NULL branch only has row ids — untagged, a row id that happens
+    # to equal some component's signature value would merge a NULL-sig
+    # row into an unrelated group (pinned in the parity test).
     sig_null = sig.where(F.col(hash_col).isNull()).select(
-        id_col, F.col(id_col).alias("_comp")
+        id_col,
+        F.struct(F.lit(1).alias("ns"),
+                 F.col(id_col).alias("v")).alias("_comp"),
     )
-    sig = sig.where(F.col(hash_col).isNotNull())
+    nn = sig.where(F.col(hash_col).isNotNull())
     # the distinct-value frame feeds both block-join sides AND the
-    # component map — persist at the fan-out, per the repo rule
-    vals = sig.select(hash_col).distinct().persist()
+    # component map
+    vals = nn.select(hash_col).distinct().persist()
     vpairs = hamming_near_pairs(
         vals.select(F.col(hash_col).alias("_vid"), hash_col),
         "_vid", hash_col, bits, max_hamming,
@@ -849,13 +865,18 @@ def hamming_groups(
     # sharing such a value still land in one group through the expand join
     comp = (
         vals.join(cc.withColumnRenamed("node", hash_col), hash_col, "left")
-        .select(hash_col,
-                F.coalesce("component", F.col(hash_col)).alias("_comp"))
+        .select(
+            hash_col,
+            F.struct(
+                F.lit(0).alias("ns"),
+                F.coalesce("component", F.col(hash_col)).alias("v"),
+            ).alias("_comp"),
+        )
     )
-    members = sig.select(id_col, hash_col).join(comp, hash_col) \
+    members = nn.select(id_col, hash_col).join(comp, hash_col) \
         .select(id_col, "_comp").unionByName(sig_null)
     return _finish_groups(members, id_col, cc_ids,
-                          extra_frames=(vals,), release=release)
+                          extra_frames=(vals, sig), release=release)
 
 
 def minhash_groups(
@@ -873,7 +894,7 @@ def minhash_groups(
     O(r^2) candidate pairs per duplicated text.  Both the LSH banding and
     the Jaccard verify are functions of the TEXT value alone, so this
     resolver (1) collapses each distinct text to its minimum-id
-    representative with one window over the text partition, (2) runs
+    representative with one skew-safe hash aggregate, (2) runs
     :func:`minhash_lsh_pairs` + connected components on representatives
     only, and (3) expands components back through the (id, rep) mapping —
     ids-only from there on.
@@ -892,35 +913,54 @@ def minhash_groups(
 
     Output and storage contract match :func:`dedup_groups`."""
     ws = F.split(F.lower(F.col(text_col)), " ")
-    eligible = F.size(ws) >= 3
-    # eligibility is a function of the text, so every row of a window
-    # partition agrees on it and the min is over exactly the same-text docs
-    rep = F.when(
-        eligible, F.min(id_col).over(Window.partitionBy(text_col))
-    ).otherwise(F.col(id_col))
-    # one full-text shuffle (the window), then ids-only; persisted because
-    # it fans out to the representative corpus AND the expand mapping
-    keyed = df.select(id_col, text_col).withColumn("_rep", rep).persist()
+    # null-safe: size(NULL) is NULL under non-legacy semantics, and both
+    # where(eligible) and where(~eligible) drop NULL predicates — without
+    # the coalesce a NULL-text row would vanish from BOTH branches
+    eligible = F.coalesce(F.size(ws) >= 3, F.lit(False))
+    # the input feeds the representative aggregate and both mapping
+    # branches — persist at the fan-out, per the repo rule
+    df = df.select(id_col, text_col).persist()
+    # representative per distinct ELIGIBLE text via a hash aggregate, NOT
+    # a window over the text partition: min(id) partial-aggregates
+    # map-side, so an r-million-copy boilerplate text collapses inside
+    # each map task and the shuffle carries ~distinct texts — a window's
+    # unbounded frame would buffer the whole duplicate family (full text
+    # payload included) in one straggler task, the exact workload the
+    # collapse exists for.  Same shape as dedup_exact.  Persisted: reps
+    # feed the minhash pipeline AND the mapping join-back.
     reps = (
-        keyed.where(eligible & (F.col(id_col) == F.col("_rep")))
-        .select(F.col(id_col).alias("doc_id"), text_col)
+        df.where(eligible)
+        .groupBy(text_col).agg(F.min(id_col).alias("_rep"))
+        .persist()
     )
     pairs = minhash_lsh_pairs(
-        reps, n_hashes, bands, threshold, text_col, mode, verify
+        reps.select(F.col("_rep").alias("doc_id"), text_col),
+        n_hashes, bands, threshold, text_col, mode, verify,
     )
     cc_ids: list = []
     cc = connected_components(pairs, "doc_a", "doc_b", max_iter,
                               release_ids=cc_ids)
-    # representatives absent from the pair graph keep themselves; every
-    # doc inherits its representative's component through the mapping
+    # join-back by text value: the hot probe side (all copies of one
+    # duplicated text) is AQE skew-split, the build side is one row per
+    # distinct text (broadcast when small); ineligible docs bypass it and
+    # keep themselves.  Reps absent from the pair graph keep themselves
+    # through the coalesce.
+    mapping = (
+        df.where(eligible).join(reps, text_col)
+        .select(id_col, "_rep")
+        .unionByName(
+            df.where(~eligible)
+            .select(id_col, F.col(id_col).alias("_rep"))
+        )
+    )
     members = (
-        keyed.select(id_col, "_rep")
+        mapping
         .join(cc.withColumnRenamed("node", "_rep"), "_rep", "left")
         .select(id_col,
                 F.coalesce("component", F.col("_rep")).alias("_comp"))
     )
     return _finish_groups(members, id_col, cc_ids,
-                          extra_frames=(keyed,), release=release)
+                          extra_frames=(df, reps), release=release)
 
 
 def embedding_groups(
@@ -950,30 +990,44 @@ def embedding_groups(
         F.col(emb_col), F.lit(0.0),
         lambda a, x: a + x.cast("double") * x.cast("double"),
     )
+    # null-safe by construction: isNotNull is false (never NULL) for NULL
+    # embeddings, so both mapping branches below see every row exactly once
     eligible = F.col(emb_col).isNotNull() & (sumsq > 0)
-    rep = F.when(
-        eligible, F.min(id_col).over(Window.partitionBy(emb_col))
-    ).otherwise(F.col(id_col))
-    # one vector-payload shuffle (the window), ids-only afterwards;
-    # persisted because it fans out to the representative corpus AND the
-    # expand mapping
-    keyed = df.select(id_col, emb_col).withColumn("_rep", rep).persist()
+    # the input feeds the representative aggregate and both mapping
+    # branches — persist at the fan-out, per the repo rule
+    df = df.select(id_col, emb_col).persist()
+    # skew-safe hash aggregate, not a window over the vector partition:
+    # min(id) partial-aggregates map-side, so an r-fold duplicated vector
+    # collapses inside each map task (see minhash_groups)
     reps = (
-        keyed.where(eligible & (F.col(id_col) == F.col("_rep")))
-        .select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
+        df.where(eligible)
+        .groupBy(emb_col).agg(F.min(id_col).alias("_rep"))
+        .persist()
     )
-    pairs = embedding_near_dups(reps, threshold)
+    pairs = embedding_near_dups(
+        reps.select(F.col("_rep").alias("vec_id"),
+                    F.col(emb_col).alias("embedding")),
+        threshold,
+    )
     cc_ids: list = []
     cc = connected_components(pairs, "vec_a", "vec_b", max_iter,
                               release_ids=cc_ids)
+    mapping = (
+        df.where(eligible).join(reps, emb_col)
+        .select(id_col, "_rep")
+        .unionByName(
+            df.where(~eligible)
+            .select(id_col, F.col(id_col).alias("_rep"))
+        )
+    )
     members = (
-        keyed.select(id_col, "_rep")
+        mapping
         .join(cc.withColumnRenamed("node", "_rep"), "_rep", "left")
         .select(id_col,
                 F.coalesce("component", F.col("_rep")).alias("_comp"))
     )
     return _finish_groups(members, id_col, cc_ids,
-                          extra_frames=(keyed,), release=release)
+                          extra_frames=(df, reps), release=release)
 
 
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95) -> DataFrame:

@@ -429,6 +429,19 @@ def test_hamming_groups_value_path_equals_pair_path(spark):
         + [(i, i, 1, 1) for i in null_ids]
     )
     assert got == want
+
+    # (c) component-label namespace collision: rows (10, phash=7) and
+    # (11, phash=7) give the value component the label 7 (hash-value
+    # space); row (7, NULL) labels itself 7 in ID space.  Untagged
+    # labels merged the NULL row into the phash-7 family (review
+    # finding); the struct-tagged _comp keeps the namespaces apart.
+    cdf = spark.createDataFrame(
+        [(10, 7), (11, 7), (7, None)], "image_id BIGINT, phash BIGINT"
+    )
+    got_c = groups(dedup.hamming_groups(
+        cdf, "image_id", "phash", bits=64, max_hamming=6, release=release,
+    ))
+    assert got_c == [(7, 7, 1, 1), (10, 10, 2, 1), (11, 10, 2, 0)]
     for cb in release:
         cb()
     spark.catalog.clearCache()
