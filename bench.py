@@ -70,6 +70,40 @@ def _tree_pids(root: int) -> list:
     return out
 
 
+#: fraction of the session-best memory bandwidth below which a pass is
+#: flagged bandwidth-contended (see _bw_probe)
+BW_NOISY_FRACTION = 0.5
+_bw_state = {"best": 0.0, "arr": None}
+
+
+def _bw_probe() -> float:
+    """Memory-bandwidth canary (GB/s): min-of-3 timed sums over a 128 MB
+    numpy array (beyond any L3).  Co-VM DRAM contention is INVISIBLE to
+    the busy-jiffy external-core measure — our threads keep accumulating
+    jiffies at full rate, each instruction just takes longer — and it is
+    exactly what a shared-host sandbox neighbor inflicts: the r5 final
+    bench recorded lang_quality at 27 s (vs 3 s) with only 0.03 external
+    cores busy.  A ~40 ms probe per pass gives the reader the missing
+    signal."""
+    import numpy as np
+    if _bw_state["arr"] is None:
+        _bw_state["arr"] = np.ones(16_000_000, dtype=np.float64)
+    a = _bw_state["arr"]
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a.sum()
+        best = min(best, time.perf_counter() - t0)
+    return round(a.nbytes / best / 1e9, 2)
+
+
+def _bw_contended(bw: float) -> bool:
+    """True when ``bw`` reads below BW_NOISY_FRACTION of the session-best
+    probe (running maximum, seeded right after the quiet-window gate)."""
+    _bw_state["best"] = max(_bw_state["best"], bw)
+    return bw < BW_NOISY_FRACTION * _bw_state["best"]
+
+
 def _cpu_snap() -> tuple:
     """(host busy jiffies, this process tree's jiffies incl. reaped
     children, wall) — the pair of snapshots around a pass yields the
@@ -116,7 +150,10 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
             _F.pandas_udf(lambda s: s, "long")(_F.col("id"))
         )
     )
-    timings, passes, loads, noisy = {}, {}, {}, []
+    # seed the bandwidth baseline inside the gated quiet window
+    gate_bw = _bw_probe()
+    _bw_state["best"] = max(_bw_state["best"], gate_bw)
+    timings, passes, loads, noisy, bw_head = {}, {}, {}, [], {}
     for name in HEADLINE:
         # min of 2 passes per query: this shared box's external tenants swing
         # wall times up to ~10x, and a single sample let round-2 tenant noise
@@ -126,7 +163,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         # whose window shows > EXT_NOISY_CORES external cores busy gets ONE
         # bounded retry; if the winning pass is still contended the entry
         # is flagged noisy.
-        per, exts = [], []
+        per, exts, bws = [], [], []
         for _ in range(2):
             spark.catalog.clearCache()
             s0 = _cpu_snap()
@@ -134,19 +171,27 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
             s1 = _cpu_snap()
             per.append(round(s1[2] - s0[2], 2))
             exts.append(_ext_cores(s0, s1))
-        if min(exts) > EXT_NOISY_CORES:
+            bws.append(_bw_probe())
+        contended = [e > EXT_NOISY_CORES or _bw_contended(b)
+                     for e, b in zip(exts, bws)]
+        if all(contended):
             spark.catalog.clearCache()
             s0 = _cpu_snap()
             _materialize(queries[name](spark, sf_dir))
             s1 = _cpu_snap()
             per.append(round(s1[2] - s0[2], 2))
             exts.append(_ext_cores(s0, s1))
+            bws.append(_bw_probe())
+            contended.append(exts[-1] > EXT_NOISY_CORES
+                             or _bw_contended(bws[-1]))
         best = min(range(len(per)), key=lambda i: per[i])
-        if exts[best] > EXT_NOISY_CORES:
+        if contended[best]:
             noisy.append(name)
-        # per-pass external cores: lets a reader attribute an outlier pass
-        # to tenant contention instead of the plan
+        # per-pass external cores + bandwidth canary: lets a reader
+        # attribute an outlier pass to tenant contention (CPU or co-VM
+        # DRAM pressure) instead of the plan
         loads[name] = exts
+        bw_head[name] = bws
         passes[name] = per
         timings[name] = per[best]
         spark.catalog.clearCache()
@@ -159,11 +204,11 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         release_session_pinned,
     )
 
-    sweep, sweep_ext, sweep_noisy = dict(timings), {}, []
+    sweep, sweep_ext, sweep_bw, sweep_noisy = dict(timings), {}, {}, []
     for name, fn in queries.items():
         if name in sweep:
             continue
-        per, exts = [], []
+        per, exts, bws, contended = [], [], [], []
         for _ in range(2):
             spark.catalog.clearCache()
             release_session_pinned(spark)
@@ -172,18 +217,23 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
             s1 = _cpu_snap()
             per.append(round(s1[2] - s0[2], 2))
             exts.append(_ext_cores(s0, s1))
+            bws.append(_bw_probe())
+            contended.append(exts[-1] > EXT_NOISY_CORES
+                             or _bw_contended(bws[-1]))
             # the sweep is cold-pass by design; only a contended window
             # earns the bounded second pass (this round's first artifact
             # draft recorded dedup_groups_text at 87 s under a tenant
-            # burst that re-measured at 10 s — exactly the phantom this
-            # guards against)
-            if exts[0] <= EXT_NOISY_CORES:
+            # burst that re-measured at 10 s; the final r5 run showed the
+            # OTHER contention mode — lang_quality 27 s at 0.03 external
+            # cores under co-VM DRAM pressure, caught by the canary)
+            if not contended[0]:
                 break
         best = min(range(len(per)), key=lambda i: per[i])
-        if exts[best] > EXT_NOISY_CORES:
+        if contended[best]:
             sweep_noisy.append(name)
         sweep[name] = per[best]
         sweep_ext[name] = exts
+        sweep_bw[name] = bws
     spark.catalog.clearCache()
     release_session_pinned(spark)
     with open("/proc/loadavg") as fh:
@@ -195,14 +245,21 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "queries": timings,
         "query_passes": passes,
         "ext_cores_per_pass": loads,
+        "bw_gbps_per_pass": bw_head,
         "gate_load": gate_load,
+        "gate_bw_gbps": gate_bw,
+        "session_best_bw_gbps": round(_bw_state["best"], 2),
         "noisy_queries": noisy,
         "noisy_note": (f"entries whose winning pass had > {EXT_NOISY_CORES} "
                        f"external cores busy (host /proc/stat minus this "
-                       f"process tree) even after one retry — treat their "
-                       f"timings as upper bounds, not regressions"),
+                       f"process tree) OR a memory-bandwidth canary below "
+                       f"{BW_NOISY_FRACTION}x the session best (co-VM DRAM "
+                       f"pressure is invisible to jiffy accounting) even "
+                       f"after one retry — treat their timings as upper "
+                       f"bounds, not regressions"),
         "sweep_single_pass": sweep,
         "sweep_ext_cores": sweep_ext,
+        "sweep_bw_gbps": sweep_bw,
         "sweep_noisy": sweep_noisy,
         "sweep_note": ("headline entries are min-of-2 warm; all others are "
                        "one cold pass incl. first-use plan build — compare "
