@@ -572,3 +572,38 @@ def test_embedding_groups_collapse_equals_pair_path(spark):
         cb()
     dedup.release_session_pinned(spark)
     spark.catalog.clearCache()
+
+
+def test_minhash_groups_collapse_sketch_mode_parity(spark):
+    """The collapse argument is verify-mode-independent (banding AND both
+    verifies are functions of the text value), so the 100-TB configuration
+    — verify='sketch', mode='xxhash' — must also be bit-identical between
+    the pair path and minhash_groups."""
+    from osm_cycling_quality_index_spark.operators import dedup
+
+    def groups(df):
+        return sorted(
+            (r.doc_id, r.group_id, r.n_members, r.is_keeper)
+            for r in df.collect()
+        )
+
+    release = []
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the woods tonight")
+    rows = [(i, base) for i in range(15)]
+    rows += [(i, f"doc {i} body with shared tokens {i % 3} and tail {i}")
+             for i in range(15, 40)]
+    rows += [(40, "tiny"), (41, None)]
+    sdf = spark.createDataFrame(rows, "doc_id BIGINT, text STRING").persist()
+    kw = dict(mode="xxhash", verify="sketch")
+    pair_path = groups(dedup.dedup_groups(
+        sdf, dedup.minhash_lsh_pairs(sdf, **kw), release=release,
+    ))
+    val_path = groups(dedup.minhash_groups(sdf, release=release, **kw))
+    assert pair_path == val_path
+    assert [r for r in val_path if r[0] == 0][0][2] == 15  # base family
+    sdf.unpersist()
+    for cb in release:
+        cb()
+    dedup.release_session_pinned(spark)
+    spark.catalog.clearCache()
