@@ -231,6 +231,16 @@ def q_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_dedup_groups_jaccard(spark, sf_dir):
+    """Group resolution composed with the NGRAM-JACCARD pair source (the
+    PPJoin prefix-filter pipeline) — the fourth pair source feeding the
+    same connected-components resolver, each one directly oracled."""
+    d = _docs(spark, sf_dir).persist()
+    dedup.pin_session(spark, d.unpersist)
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.5)
+    return dedup.dedup_groups(d, pairs, id_col="doc_id", a="doc_a", b="doc_b")
+
+
 def q_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
 
@@ -623,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sketch": q_distinct_sketch,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_groups_jaccard": q_dedup_groups_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh,
         "minhash_sketch_pairs": q_minhash_sketch,
         "simhash": q_simhash,
@@ -670,6 +681,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_sketch": O.DISTINCT_SKETCH,
         "dedup_exact": O.DEDUP_EXACT,
         "jaccard_pairs": O.JACCARD_PAIRS.format(threshold=0.5),
+        "dedup_groups_jaccard": O.dedup_groups_jaccard_sql(threshold=0.5),
         "minhash_lsh_pairs": O.minhash_lsh_sql(),
         "minhash_sketch_pairs": O.minhash_sketch_sql(),
         "simhash": O.simhash_sql(),

@@ -710,6 +710,33 @@ FROM lab
 """
 
 
+def dedup_groups_jaccard_sql(threshold: float = 0.5) -> str:
+    """Mirror of dedup_groups over NGRAM-JACCARD pairs (the PPJoin
+    prefix-filter pair source) — fourth pair-source composition of the
+    same recursive-CTE closure; the pairs CTE nests JACCARD_PAIRS' own
+    WITH chain as a subquery."""
+    pairs = JACCARD_PAIRS.format(threshold=threshold)
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+),
+lab AS (SELECT node AS doc_id, MIN(lbl) AS group_id FROM walk GROUP BY node)
+SELECT doc_id, group_id,
+       CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS n_members,
+       CAST(doc_id = group_id AS INT) AS is_keeper
+FROM lab
+"""
+
+
 def dedup_groups_sql(threshold: float = 0.3, n_planes: int = 8) -> str:
     """Mirror of operators/dedup.dedup_groups over embedding_near_dups
     pairs: transitive closure by a recursive CTE (min reachable id per
