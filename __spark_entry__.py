@@ -332,10 +332,16 @@ def q_bpe_token_ids(spark, sf_dir):
     so the oracle hash covers every id positionally."""
     from osm_cycling_quality_index_spark.functions.bpe import bpe_pieces
 
+    from osm_cycling_quality_index_spark.operators import dedup
+
     d = _docs(spark, sf_dir)
+    # fan-out persist: the 3x64 replace-chain below feeds BOTH the vocab
+    # distinct and the join probe side — without the persist the most
+    # expensive expression in the family evaluates twice per run
     pieces = d.select(
         "doc_id", F.posexplode(bpe_pieces(F.col("text"))).alias("pos", "piece")
-    )
+    ).persist()
+    dedup.pin_session(spark, pieces.unpersist)
     vocab = (
         pieces.select("piece").distinct()
         .withColumn(

@@ -255,7 +255,14 @@ def ngram_jaccard_pairs(
         F.count(F.lit(1)).alias("n"),
     ).persist()  # feeds the prefix explode and both verify sides
     pin_session(df.sparkSession, per_doc.unpersist)
-    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    # same 1e-9 rounding slack as the length/alpha bounds below: for
+    # thresholds whose double sits above the decimal (0.8*5 =
+    # 4.0000000000000002) a bare ceil lands one high and silently
+    # shortens the prefix, dropping true pairs.  A too-long prefix only
+    # admits extra candidates — verify is exact — so slack is safe.
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
+    )
     pref = (
         per_doc.select(
             "doc_id", "n",
@@ -550,6 +557,7 @@ def simhash_near_pairs(df: DataFrame, bits: int = 32, max_hamming: int = 3,
     Output: (doc_a, doc_b, hamming)."""
     # the signature frame feeds both sides of the block self-join
     sh = simhash(df, bits, text_col, mode).persist()
+    pin_session(df.sparkSession, sh.unpersist)
     return hamming_near_pairs(sh, "doc_id", "simhash", bits, max_hamming)
 
 
@@ -991,8 +999,13 @@ def embedding_groups(
         lambda a, x: a + x.cast("double") * x.cast("double"),
     )
     # null-safe by construction: isNotNull is false (never NULL) for NULL
-    # embeddings, so both mapping branches below see every row exactly once
-    eligible = F.col(emb_col).isNotNull() & (sumsq > 0)
+    # embeddings, and the coalesce catches the NULL-ELEMENT case — an
+    # array containing a NULL aggregates sumsq to NULL, which would make
+    # the predicate NULL and drop the row from BOTH branches below
+    # (minhash_groups coalesces its eligibility for the same reason)
+    eligible = F.coalesce(
+        F.col(emb_col).isNotNull() & (sumsq > 0), F.lit(False)
+    )
     # the input feeds the representative aggregate and both mapping
     # branches — persist at the fan-out, per the repo rule
     df = df.select(id_col, emb_col).persist()

@@ -318,7 +318,13 @@ def test_jaccard_ppjoin_matches_brute_force(spark):
         rows.append((i, t))
     sdf = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
 
-    for kind, thr in (("word", 0.5), ("shingle", 0.5), ("word", 0.7)):
+    # 0.8 and 0.55 are the ADVICE-r5 regression thresholds: their double
+    # representation sits ABOVE the decimal, so an unslacked
+    # ceil(t*n) lands one high (fl(0.8)*5 -> ceil 5) and shortens the
+    # prefix — the 4-token/5-token subset pair in the fixture (J = 0.8
+    # exactly) is dropped without the 1e-9 slack
+    for kind, thr in (("word", 0.5), ("shingle", 0.5), ("word", 0.7),
+                      ("word", 0.8), ("word", 0.55)):
         def toks(t):
             ws = [w for w in t.lower().split(" ") if w != ""]
             if kind == "word":
@@ -342,6 +348,24 @@ def test_jaccard_ppjoin_matches_brute_force(spark):
             for r in ngram_jaccard_pairs(sdf, threshold=thr, kind=kind).collect()
         }
         assert got == want, (kind, thr, got ^ want)
+
+    # Targeted ADVICE-r5 regression (the small-n grid above never trips
+    # it): at t=0.55, n=100, fl(0.55)*100 = 55.000000000000007, so an
+    # unslacked ceil gives 56 and the prefix is one token short.  x has
+    # 45 private tokens (df=1, ranked first) + 55 shared (df=2); y is
+    # exactly the shared set, J = 55/100 = 0.55.  The ONLY prefix
+    # overlap is the 46th token of x ("b01") — present iff the slack is
+    # applied.  The length filter crosses the same boundary
+    # (0.55*100 <= 55), covering its slack too.
+    x = " ".join([f"a{i:02d}" for i in range(1, 46)]
+                 + [f"b{i:02d}" for i in range(1, 56)])
+    y = " ".join(f"b{i:02d}" for i in range(1, 56))
+    sdf2 = spark.createDataFrame([(0, x), (1, y)],
+                                 "doc_id BIGINT, text STRING")
+    got = [(r.doc_a, r.doc_b, r.common)
+           for r in ngram_jaccard_pairs(sdf2, threshold=0.55,
+                                        kind="word").collect()]
+    assert got == [(0, 1, 55)], got
     release_session_pinned(spark)
     spark.catalog.clearCache()
 
@@ -548,8 +572,13 @@ def test_embedding_groups_collapse_equals_pair_path(spark):
         rows.append((i, near))            # near-dups of the base family
     for i in range(25, 30):
         rows.append((i, far))             # separate exact-dup family
+    null_elem = list(base); null_elem[3] = None
     rows += [(30, [0.0] * 16), (31, [0.0] * 16),   # identical zero vectors
-             (32, None), (33, None)]               # NULL embeddings
+             (32, None), (33, None),               # NULL embeddings
+             # NULL ELEMENT: sumsq aggregates to NULL -> the eligibility
+             # predicate is NULL unless coalesced, and the row would
+             # vanish from BOTH collapse branches (ADVICE r5 medium)
+             (34, null_elem)]
     sdf = spark.createDataFrame(
         rows, "vec_id BIGINT, embedding ARRAY<FLOAT>"
     ).persist()
@@ -564,9 +593,11 @@ def test_embedding_groups_collapse_equals_pair_path(spark):
     by_id = {d: (g, n) for d, g, n, _ in val_path}
     assert by_id[0] == (0, 25)            # base + near family collapses
     assert by_id[25] == (25, 5)           # far family separate
-    # zero-norm and NULL rows are unpairable -> singletons in both paths
-    for v in (30, 31, 32, 33):
+    # zero-norm, NULL and NULL-element rows are unpairable -> singletons
+    # in both paths (and present in both: one row per corpus row)
+    for v in (30, 31, 32, 33, 34):
         assert by_id[v] == (v, 1)
+    assert len(val_path) == len(rows)
     sdf.unpersist()
     for cb in release:
         cb()
