@@ -623,7 +623,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    q = {
+    # ORDER MATTERS: the driver's correctness check covers the FIRST 50
+    # entries, so the reference's §2-critical geo queries (J1 spatial
+    # join + A1-A9 votes, S2/H3 encoders, CQI pipeline) come first —
+    # in r5 geo_s2_cells/geo_sidepath_vote were registered 51st/52nd and
+    # silently fell outside the artifact.  A pytest pins len(q) <= 50
+    # and geo-first.  Consolidated rows (still implemented + oracled in
+    # pytest, parity-pinned bit-identical to a registered row):
+    # dedup_groups / dedup_groups_text pair paths (collapsed variants
+    # registered; CC pair path witnessed by dedup_groups_jaccard and
+    # dedup_groups_images) and bpe_token_counts (superseded by the
+    # strictly stronger bpe_token_ids, 49k rows positional).
+    q = dict(G.QUERIES)
+    q.update({
         "pricing_summary": q_pricing_summary,
         "orders_per_nation": q_orders_per_nation,
         "topk_orders": q_topk_orders,
@@ -645,7 +657,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "text_stats": q_text_stats,
         "lang_quality": q_lang_quality,
-        "bpe_token_counts": q_bpe_tokens,
         "bpe_vocab_counts": q_bpe_vocab,
         "bpe_token_ids": q_bpe_token_ids,
         "doc_fingerprint": q_fingerprint,
@@ -657,21 +668,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_buckets": q_ann_buckets,
         "embedding_near_dups": q_embedding_near_dups,
-        "dedup_groups": q_dedup_groups,
         "dedup_groups_collapsed": q_dedup_groups_collapsed,
-        "dedup_groups_text": q_dedup_groups_text,
         "dedup_groups_text_collapsed": q_dedup_groups_text_collapsed,
         "phash_near_dups": q_phash_near_dups,
         "dedup_groups_images": q_dedup_groups_images,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
-    }
-    q.update(G.QUERIES)
+    })
     return q
 
 
 def oracle_sql() -> dict[str, str]:
-    sql = {
+    # same ordering contract as queries(): geo oracles first
+    sql = dict(G.ORACLES)
+    sql.update({
         "pricing_summary": O.PRICING_SUMMARY,
         "orders_per_nation": O.ORDERS_PER_NATION,
         "topk_orders": O.TOPK_ORDERS,
@@ -693,7 +703,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash": O.simhash_sql(),
         "text_stats": O.text_stats_sql(),
         "lang_quality": O.lang_quality_sql(),
-        "bpe_token_counts": _bpe_query_sql(),
         "bpe_vocab_counts": _bpe_vocab_sql(),
         "bpe_token_ids": _bpe_token_ids_sql(),
         "doc_fingerprint": O.FINGERPRINT,
@@ -705,9 +714,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": O.embedding_topk_sql(),
         "ann_buckets": O.ann_buckets_sql(),
         "embedding_near_dups": O.embedding_near_dups_sql(threshold=0.35),
-        "dedup_groups": O.dedup_groups_sql(threshold=0.3),
         "dedup_groups_collapsed": O.dedup_groups_sql(threshold=0.3),
-        "dedup_groups_text": O.dedup_groups_text_sql(),
         "dedup_groups_text_collapsed": O.dedup_groups_text_sql(),
         "phash_near_dups": O.phash_near_dups_sql(),
         "dedup_groups_images": O.dedup_groups_images_sql(),
@@ -715,6 +722,5 @@ def oracle_sql() -> dict[str, str]:
         # mirrors exactly; recall vs brute force is gated in pytest
         "ann_lsh_topk": O.ann_lsh_topk_sql(),
         "ivf_topk": O.ivf_topk_sql(),
-    }
-    sql.update(G.ORACLES)
+    })
     return sql

@@ -584,7 +584,36 @@ def main() -> int:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    print(json.dumps(run_headline(sf_dir, cpus)))
+    report = run_headline(sf_dir, cpus)
+    # The driver's artifact keeps only the LAST ~2000 chars of stdout; the
+    # full report outgrew that in r4/r5 and the headline numbers were cut
+    # off (BENCH_r05.json: parsed null).  So: full report to a file + to
+    # stderr for humans, and stdout carries ONE compact JSON line (<1500
+    # chars) with everything a round-over-round reader needs.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "last_run.json"), "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps(report), file=sys.stderr)
+    sweep = report["sweep_single_pass"]
+    slowest = dict(sorted(sweep.items(), key=lambda kv: -kv[1])[:10])
+    compact = {
+        "metric": report["metric"],
+        "value": report["value"],
+        "unit": report["unit"],
+        "queries": report["queries"],
+        "noisy_queries": report["noisy_queries"],
+        "sweep_total": round(sum(sweep.values()), 2),
+        "sweep_n": len(sweep),
+        "sweep_slowest10": slowest,
+        "sweep_noisy": report["sweep_noisy"],
+        "session_best_bw_gbps": report["session_best_bw_gbps"],
+        "sf": report["sf"],
+        "cpus": report["cpus"],
+        "full_report": "BENCH/last_run.json",
+    }
+    print(json.dumps(compact))
     return 0
 
 

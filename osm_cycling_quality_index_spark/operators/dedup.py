@@ -476,7 +476,9 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text",
     word_hash = (word_id * 2654435761) mod 2^31.  Output: (doc_id, simhash)."""
     # persist the token stream: word_ids consumes it twice (vocabulary
     # distinct + the id-attach join input)
-    toks = word_ids(tokenize(df, text_col).persist(), mode)
+    toks_src = tokenize(df, text_col).persist()
+    pin_session(df.sparkSession, toks_src.unpersist)
+    toks = word_ids(toks_src, mode)
     h = (F.col("word_id") * F.lit(2654435761)) % F.lit(2147483648)
     cols = [
         F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")

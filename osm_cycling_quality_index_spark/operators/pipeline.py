@@ -31,6 +31,9 @@ def cqi_pipeline(ways: DataFrame, with_geometry: bool = True) -> DataFrame:
         # boundary is an Iceberg snapshot checkpoint instead, see
         # checkpoint.py)
         df = sidepath_stage(df).persist()
+        from .dedup import pin_session
+
+        pin_session(df.sparkSession, df.unpersist)
     df = offset_stage(df)
     df = classify(df)
     df = derive_attributes(df)

@@ -65,6 +65,9 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     base = df.select(
         "doc_id", ws.alias("ws"), n.alias("n_words"), dup.alias("dup_word_frac")
     ).persist()  # feeds the output join AND the bigram branch
+    from .dedup import pin_session
+
+    pin_session(df.sparkSession, base.unpersist)
     bigrams = (
         base.where(F.col("n_words") >= 2)
         .select(

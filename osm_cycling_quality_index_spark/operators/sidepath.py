@@ -105,6 +105,10 @@ def sidepath_votes(paths: DataFrame, roads: DataFrame) -> DataFrame:
     hits = hits.persist()
 
     checks = pts.groupBy("id").agg(F.count(F.lit(1)).alias("checks")).persist()
+    from .dedup import pin_session
+
+    pin_session(paths.sparkSession, hits.unpersist)
+    pin_session(paths.sparkSession, checks.unpersist)
 
     def vote(votes: DataFrame, key: str) -> DataFrame:
         """Per-way flag: any `key` seen at >= threshold of check points
