@@ -356,6 +356,20 @@ def q_bpe_token_ids(spark, sf_dir):
     )
 
 
+def q_span_dedup(spark, sf_dir):
+    """Exact repeated-span detection (Lee et al. ExactSubstr; see
+    operators/dedup.repeated_spans): maximal token intervals covered by
+    corpus-duplicated 8-grams.  Positions cast to BIGINT to match the
+    oracle's range()-derived types."""
+    spans = dedup.repeated_spans(_docs(spark, sf_dir), k=8, min_count=2)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     return T.fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -659,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality": q_lang_quality,
         "bpe_vocab_counts": q_bpe_vocab,
         "bpe_token_ids": q_bpe_token_ids,
+        "span_dedup": q_span_dedup,
         "doc_fingerprint": q_fingerprint,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
@@ -705,6 +720,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_quality": O.lang_quality_sql(),
         "bpe_vocab_counts": _bpe_vocab_sql(),
         "bpe_token_ids": _bpe_token_ids_sql(),
+        "span_dedup": O.span_dedup_sql(k=8, min_count=2),
         "doc_fingerprint": O.FINGERPRINT,
         "repetition_stats": O.REPETITION_STATS,
         "decontaminate": O.decontaminate_sql(),

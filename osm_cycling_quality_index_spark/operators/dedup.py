@@ -1097,3 +1097,130 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95) -> DataFrame:
         sim.where(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# exact repeated-span dedup (the Lee-et-al ExactSubstr pass)
+# ---------------------------------------------------------------------------
+
+def repeated_spans(
+    df: DataFrame, k: int = 8, min_count: int = 2, text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-span detection — the exact-substring
+    deduplication pass of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (arXiv:2107.06499), re-expressed for Spark:
+    instead of a monolithic suffix array, every k-token gram is bucketed
+    by value with one skew-safe hash aggregate, grams occurring
+    ``min_count``-or-more times in the corpus (same doc or across docs)
+    flag the token interval they cover, and overlapping-or-adjacent
+    flagged intervals merge per document into maximal spans.
+
+    Equivalent coverage guarantee: a repeated substring of >= k tokens is
+    covered by chained repeated k-grams, so every token Lee et al. would
+    excise is inside an emitted span (the merge may additionally bridge
+    two repeats separated by < k fresh tokens — a superset, which is the
+    conservative direction for dedup).
+
+    Positions are 0-based indices over the document's NON-EMPTY lowercase
+    whitespace tokens (empties from repeated spaces dropped, so positions
+    are dense — unlike :func:`tokenize`'s shingles, which keep them;
+    keeping empties here would make span offsets meaningless).
+
+    Scale shape: the gram aggregate partial-aggregates map-side, so the
+    million-copy boilerplate gram arrives at the reducer as per-partition
+    counts, never as a row explosion; the flag-back is an equi-join on the
+    gram value (AQE skew-split handles hot grams); the islands merge is a
+    per-document window — bounded by document length, never corpus-wide.
+    The gram string payload rides exactly two shuffles (aggregate + flag
+    join); at extreme scale substitute ``F.xxhash64`` for the join key —
+    left exact here so the DuckDB oracle mirrors bit-for-bit.
+
+    Output: (doc_id, span_start, span_end, n_tokens), inclusive bounds.
+    """
+    df = fan_out(df)
+    ws = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                  lambda w: w != "")
+    n = F.size(ws)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = df.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+    # occurrence counts WITHOUT distinct: within-doc repetition counts
+    # toward min_count, exactly as a suffix array would see it
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_count)
+        .select("gram")
+    )
+    flagged = occ.join(dup, "gram", "left_semi").select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + F.lit(k - 1)).alias("e"),
+    )
+    # gaps-and-islands: all intervals are k long, so starts are monotone
+    # with ends and lag(s) suffices — a new island starts when the gap to
+    # the previous flagged gram exceeds k (neither overlapping nor
+    # adjacent).  Window partitioned per doc: bounded by doc length.
+    w = Window.partitionBy("doc_id").orderBy("s")
+    isl = flagged.withColumn(
+        "_new",
+        F.when(
+            F.col("s") - F.lag("s").over(w) <= k, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .select(
+            "doc_id", "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+        )
+    )
+
+
+def excise_spans(
+    df: DataFrame, spans: DataFrame, text_col: str = "text",
+) -> DataFrame:
+    """Remove every token covered by a :func:`repeated_spans` interval and
+    rebuild the text — the write side of the Lee-et-al pass.  Documents
+    with no flagged span pass through unchanged (left join); a document
+    whose every token is covered comes back as the empty string.
+
+    The token walk is pure JVM array lambda work (filter over positions
+    against the doc's own span list — spans per doc are few, the
+    quadratic term is bounded by span count, not doc length squared); the
+    spans attach by a single equi-join on doc_id.  Output: (doc_id, text)
+    with the same lowercase/whitespace normalization as the detector.
+    """
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    ws = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                  lambda w: w != "")
+    out = df.join(per_doc, "doc_id", "left")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda sp: (i >= sp["span_start"]) & (i <= sp["span_end"]),
+    )
+    kept = F.when(
+        F.col("_spans").isNull(), ws
+    ).otherwise(
+        # zip each token with its dense position, drop covered ones
+        F.transform(
+            F.filter(
+                F.transform(ws, lambda w, i: F.struct(w.alias("w"),
+                                                      i.alias("i"))),
+                lambda s: ~covered(s["i"]),
+            ),
+            lambda s: s["w"],
+        )
+    )
+    return out.select("doc_id", F.concat_ws(" ", kept).alias(text_col))

@@ -917,3 +917,39 @@ SELECT image_id, group_id,
        CAST(image_id = group_id AS INT) AS is_keeper
 FROM lab
 """
+
+
+def span_dedup_sql(k: int = 8, min_count: int = 2) -> str:
+    """Mirror of operators/dedup.repeated_spans: k-gram occurrences over
+    the NON-EMPTY lowercase whitespace tokens (dense 0-based positions),
+    corpus-duplicated grams flag their interval, overlapping-or-adjacent
+    intervals merge per doc (gaps-and-islands; all intervals are k long so
+    LAG(start) carries the merge condition)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+{k}], ' ') AS gram
+  FROM toks, UNNEST(range(0, GREATEST(len(ws) - {k} + 1, 0))) AS t(i)
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= {min_count}),
+flagged AS (
+  SELECT g.doc_id, g.pos AS s, g.pos + {k - 1} AS e
+  FROM grams g JOIN dup USING (gram)
+),
+lagged AS (
+  SELECT doc_id, s, e, LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev_s
+  FROM flagged
+),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN prev_s IS NOT NULL AND s - prev_s <= {k} THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY s) AS island
+  FROM lagged
+)
+SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+       CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS n_tokens
+FROM isl GROUP BY doc_id, island
+"""

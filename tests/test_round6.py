@@ -61,3 +61,99 @@ def test_bench_compact_stdout_line():
     line = json.dumps(compact)
     assert len(line) < 1500, len(line)
     assert "\n" not in line
+
+
+# ---------------------------------------------------------------------------
+# exact repeated-span dedup (Lee et al. ExactSubstr pass)
+# ---------------------------------------------------------------------------
+
+def _py_spans(rows, k, min_count):
+    """Brute-force reference: count every k-gram, flag intervals of
+    duplicated grams, merge overlapping-or-adjacent per doc."""
+    from collections import Counter
+
+    toks = {d: [w for w in t.lower().split(" ") if w] for d, t in rows}
+    counts = Counter()
+    for d, ws in toks.items():
+        for i in range(len(ws) - k + 1):
+            counts[" ".join(ws[i:i + k])] += 1
+    out = []
+    for d, ws in sorted(toks.items()):
+        ivs = [(i, i + k - 1) for i in range(len(ws) - k + 1)
+               if counts[" ".join(ws[i:i + k])] >= min_count]
+        merged = []
+        for s, e in ivs:
+            if merged and s - merged[-1][-1][0] <= k:
+                merged[-1].append((s, e))
+            else:
+                merged.append([(s, e)])
+        for grp in merged:
+            s = min(x for x, _ in grp)
+            e = max(y for _, y in grp)
+            out.append((d, s, e, e - s + 1))
+    return sorted(out)
+
+
+def test_repeated_spans_matches_brute_force(spark):
+    """repeated_spans == the python reference on an adversarial corpus:
+    cross-doc repeats at different offsets, WITHIN-doc repetition (counts
+    toward min_count), adjacent repeats that must merge, repeated spaces
+    (dense positions over non-empty tokens), docs shorter than k, and an
+    entirely-duplicated doc."""
+    from osm_cycling_quality_index_spark.operators.dedup import (
+        repeated_spans, release_session_pinned,
+    )
+
+    boiler = "this article is licensed under creative commons attribution share alike terms apply"
+    rows = [
+        (0, f"alpha beta {boiler} gamma delta"),
+        (1, f"{boiler} unrelated tail words here for padding"),
+        (2, f"intro words {boiler} middle {boiler} outro"),          # 2 repeats, bridge < k apart?
+        (3, "self self self self self self self self self self self self"),  # within-doc repeats
+        (4, "too short"),
+        (5, ""),
+        (6, f"spaced   out    {boiler}   with   extra    whitespace"),  # empty tokens dropped
+        (7, boiler),                                                   # doc == the span
+        (8, "completely fresh sentence nothing repeated anywhere in this corpus today ok"),
+    ]
+    for k, mc in ((8, 2), (5, 2), (8, 3)):
+        want = _py_spans(rows, k, mc)
+        sdf = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end, r.n_tokens)
+            for r in repeated_spans(sdf, k=k, min_count=mc).collect()
+        )
+        assert got == want, (k, mc, got, want)
+    release_session_pinned(spark)
+    spark.catalog.clearCache()
+
+
+def test_excise_spans_roundtrip(spark):
+    """excise_spans removes exactly the flagged tokens: untouched docs
+    pass through (normalized), a fully-covered doc becomes empty, and no
+    k-gram in the excised corpus repeats >= min_count times EXCEPT grams
+    newly formed across excision seams (Lee et al. accept the same
+    artifact; re-running the detector converges)."""
+    from osm_cycling_quality_index_spark.operators.dedup import (
+        excise_spans, repeated_spans, release_session_pinned,
+    )
+
+    boiler = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, f"keep these words {boiler} and these"),
+        (1, f"{boiler} trailing unique content follows here"),
+        (2, boiler),
+        (3, "nothing shared with anybody at all in this document"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    spans = repeated_spans(sdf, k=8, min_count=2)
+    out = {r.doc_id: r.text for r in excise_spans(sdf, spans).collect()}
+    assert out[0] == "keep these words and these"
+    assert out[1] == "trailing unique content follows here"
+    assert out[2] == ""
+    assert out[3] == "nothing shared with anybody at all in this document"
+    # idempotence: a second detector pass over the excised corpus is empty
+    sdf2 = spark.createDataFrame(list(out.items()), "doc_id BIGINT, text STRING")
+    assert repeated_spans(sdf2, k=8, min_count=2).count() == 0
+    release_session_pinned(spark)
+    spark.catalog.clearCache()
