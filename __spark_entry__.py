@@ -242,7 +242,10 @@ def q_dedup_groups_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+    # dictionary/exact pinned: the only DuckDB-mirrorable configuration
+    # (the operator's own defaults are the xxhash+sketch production path)
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir),
+                                   mode="dictionary", verify="exact")
 
 
 def q_minhash_sketch(spark, sf_dir):
@@ -251,7 +254,8 @@ def q_minhash_sketch(spark, sf_dir):
     matching-component fraction, so only the fixed-width signature rides
     to the candidates — verify cost independent of document length.
     Deterministic for the fixed hash family, hence exactly oracled."""
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), verify="sketch")
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir),
+                                   mode="dictionary", verify="sketch")
 
 
 def q_simhash(spark, sf_dir):
@@ -464,8 +468,13 @@ def q_corpus_curate(spark, sf_dir):
     # boundary, per the repo fan-out rule; registered for release
     d = _docs(spark, sf_dir).persist()
     dedup.pin_session(spark, d.unpersist)
-    pairs = dedup.minhash_lsh_pairs(d)
-    groups = dedup.dedup_groups(d, pairs, id_col="doc_id", a="doc_a", b="doc_b")
+    # value-collapsed resolver + sketch verify (r5 VERDICT item 5): the
+    # dedup stage dominated this composition's cost; the collapsed
+    # resolver pays O(distinct texts) and the sketch verify carries only
+    # fixed-width signatures.  Bit-identical to the pair path (pinned),
+    # so the oracle's recursive-CTE closure is unchanged apart from the
+    # pairs CTE swapping to the sketch mirror.
+    groups = dedup.minhash_groups(d, mode="dictionary", verify="sketch")
     keep = groups.where(F.col("is_keeper") == 1).select("doc_id")
     rep = repetition_stats(d).where(
         F.col("dup_word_frac") <= 0.6).select("doc_id")
@@ -596,7 +605,7 @@ def q_dedup_groups_text(spark, sf_dir):
     # corpus side) — persist at the fan-out, registered for release
     d = _docs(spark, sf_dir).persist()
     dedup.pin_session(spark, d.unpersist)
-    pairs = dedup.minhash_lsh_pairs(d)
+    pairs = dedup.minhash_lsh_pairs(d, mode="dictionary", verify="exact")
     return dedup.dedup_groups(d, pairs, id_col="doc_id", a="doc_a", b="doc_b")
 
 
@@ -608,8 +617,11 @@ def q_dedup_groups_text_collapsed(spark, sf_dir):
     tests/test_round5.py; same recursive-CTE oracle), but a corpus whose
     duplication is exact copies — the dominant web-crawl case — does
     (1/r^2) of the shingle/band/verify work for repetition factor r:
-    12x on a 50k-doc corpus with 100 copies per text."""
-    return dedup.minhash_groups(_docs(spark, sf_dir))
+    12x on a 50k-doc corpus with 100 copies per text.  Sketch verify
+    (fixed-width signature payload) + dictionary ids: the fastest
+    DuckDB-mirrorable configuration; xxhash parity is pinned in pytest."""
+    return dedup.minhash_groups(_docs(spark, sf_dir),
+                                mode="dictionary", verify="sketch")
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -731,7 +743,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_buckets": O.ann_buckets_sql(),
         "embedding_near_dups": O.embedding_near_dups_sql(threshold=0.35),
         "dedup_groups_collapsed": O.dedup_groups_sql(threshold=0.3),
-        "dedup_groups_text_collapsed": O.dedup_groups_text_sql(),
+        "dedup_groups_text_collapsed": O.dedup_groups_text_sql(verify="sketch"),
         "phash_near_dups": O.phash_near_dups_sql(),
         "dedup_groups_images": O.dedup_groups_images_sql(),
         # the LSH approximation is deterministic (fixed hyperplanes), so it

@@ -354,8 +354,8 @@ def minhash_signatures(
 
 def minhash_lsh_pairs(
     df: DataFrame, n_hashes: int = 16, bands: int = 4,
-    threshold: float = 0.5, text_col: str = "text", mode: str = "dictionary",
-    verify: str = "exact",
+    threshold: float = 0.5, text_col: str = "text", mode: str = "xxhash",
+    verify: str = "sketch",
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidates, verified to >= threshold.
 
@@ -363,9 +363,16 @@ def minhash_lsh_pairs(
     sharing any full band become candidates (equi-join on the band value).
     Output: (doc_a, doc_b, jaccard).
 
+    Defaults are the 100-TB production configuration — ``mode='xxhash'``
+    (no vocabulary join) + ``verify='sketch'`` (fixed-width payload); the
+    driver's correctness gate pins ``mode='dictionary'`` explicitly
+    because only the dictionary ids are DuckDB-mirrorable, and parity
+    between the modes is pinned in pytest (tests/test_round4.py,
+    test_round5.py).
+
     ``verify`` picks the post-candidate filter:
 
-    - ``'exact'`` (default): true Jaccard over the distinct shingle sets,
+    - ``'exact'``: true Jaccard over the distinct shingle sets,
       attached to each candidate side by equi-join.  Exact, but the shingle
       arrays scale with document length — at very large scale (or with
       near-dup families so big the candidate set is huge) those arrays are
@@ -892,11 +899,13 @@ def hamming_groups(
 def minhash_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n_hashes: int = 16, bands: int = 4, threshold: float = 0.5,
-    mode: str = "dictionary", verify: str = "exact", max_iter: int = 25,
+    mode: str = "xxhash", verify: str = "sketch", max_iter: int = 25,
     release: list | None = None,
 ) -> DataFrame:
     """Text dedup GROUPS with exact-duplicate collapse — the value-level
     resolver for text corpora, analogous to :func:`hamming_groups`.
+    Defaults follow :func:`minhash_lsh_pairs` (xxhash + sketch-verify,
+    the production path); the correctness gate pins the dictionary mode.
 
     Web-scale corpora are dominated by EXACT duplicates (mirrors,
     boilerplate, re-crawls); running the minhash pipeline over every copy

@@ -685,13 +685,18 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
-def dedup_groups_text_sql(threshold: float = 0.5) -> str:
+def dedup_groups_text_sql(threshold: float = 0.5,
+                          verify: str = "exact") -> str:
     """Mirror of dedup_groups over MINHASH-LSH pairs on the documents
     table — same recursive-CTE closure as the embedding variant, proving
-    the group resolver composes across pair sources."""
+    the group resolver composes across pair sources.  ``verify`` selects
+    the nested pairs mirror (exact Jaccard vs the sketch estimate),
+    matching minhash_lsh_pairs/minhash_groups."""
+    pairs_sql = (minhash_sketch_sql(threshold=threshold) if verify == "sketch"
+                 else minhash_lsh_sql(threshold=threshold))
     return f"""
 WITH RECURSIVE
-pairs AS ({minhash_lsh_sql(threshold=threshold)}),
+pairs AS ({pairs_sql}),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
@@ -822,7 +827,8 @@ WHERE b < CASE source {arms} ELSE {int(default_rate * _M)} END
 
 
 def corpus_curate_sql(rep_max: float = 0.6, train: float = 0.9,
-                      val: float = 0.05, default_rate: float = 0.5) -> str:
+                      val: float = 0.05, default_rate: float = 0.5,
+                      verify: str = "sketch") -> str:
     """Mirror of the end-to-end curation composition: reuses the
     component mirrors verbatim (dedup_groups_text_sql / REPETITION_STATS /
     decontaminate_sql) as CTEs, then the same stratified-sample + split
@@ -836,7 +842,7 @@ def corpus_curate_sql(rep_max: float = 0.6, train: float = 0.9,
     t1, t2 = int(train * _M), int((train + val) * _M)
     return f"""
 WITH
-grp AS ({dedup_groups_text_sql()}),
+grp AS ({dedup_groups_text_sql(verify=verify)}),
 rep AS ({REPETITION_STATS}),
 dec AS ({decontaminate_sql()}),
 kept AS (

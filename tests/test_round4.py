@@ -173,7 +173,7 @@ def test_xxhash_mode_minhash_parity(spark):
     for mode in ("dictionary", "xxhash"):
         by_mode[mode] = {
             (r["doc_a"], r["doc_b"], r["jaccard"])
-            for r in minhash_lsh_pairs(d, mode=mode).collect()
+            for r in minhash_lsh_pairs(d, mode=mode, verify="exact").collect()
         }
         spark.catalog.clearCache()
     assert by_mode["dictionary"] == by_mode["xxhash"]

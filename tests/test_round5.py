@@ -272,7 +272,8 @@ def test_minhash_sketch_verify_accuracy(spark):
     for mode in ("dictionary", "xxhash"):
         exact = {
             (r.doc_a, r.doc_b): r.jaccard
-            for r in minhash_lsh_pairs(d, mode=mode).collect()
+            for r in minhash_lsh_pairs(d, mode=mode,
+                                       verify="exact").collect()
         }
         sketch = {
             (r.doc_a, r.doc_b): r.jaccard
