@@ -572,7 +572,7 @@ def simhash_near_pairs(df: DataFrame, bits: int = 32, max_hamming: int = 3,
 
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25,
-    release_ids: list | None = None,
+    release_ids: list | None = None, dedup_edges: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected edge list by iterative
     hash-min label propagation WITH pointer doubling: every node starts
@@ -580,6 +580,10 @@ def connected_components(
     over its own and its neighbours' labels (one BFS hop), then (b) jumps —
     adopts its current label's OWN label (``labels ⋈ labels`` on
     component = node), which doubles the distance a minimum has travelled.
+    Round 0 is FUSED with initialization: over identity labels the jump is
+    a no-op and the relax reduces to one aggregate straight over the
+    symmetrized edges, so the loop starts with a single job instead of an
+    eager init-labels checkpoint plus a round job.
     Relax alone needs O(component diameter) rounds; with the jump the loop
     converges in O(log diameter) — a 59-hop path closes in 7 rounds (the
     union-find property test exercises exactly that).  All per-round work
@@ -629,7 +633,12 @@ def connected_components(
                 reg.get(rid).unpersist(False)
     # symmetrize map-side (explode both directions from one row) so the
     # upstream pair pipeline — often an expensive LSH join — is scanned
-    # once, not once per union branch
+    # once, not once per union branch.  NO distinct: hash-min is
+    # idempotent under duplicate edges (the min-aggregate absorbs them),
+    # every pair source in this repo emits distinct a<b pairs, and at
+    # scale the distinct is a full shuffle of the edge list bought for
+    # nothing.  Pass ``dedup_edges=True`` for a caller-supplied edge list
+    # with heavy duplication (dups multiply per-round join volume).
     sym = (
         edges.select(
             F.explode(
@@ -641,15 +650,12 @@ def connected_components(
         )
         .select("e.a", "e.b")
         .where(F.col("a") != F.col("b"))
-        .distinct()
-        .persist()
     )
-    labels, label_ids = _ckpt(
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-    )
-    comp_type = labels.schema["component"].dataType
+    if dedup_edges:
+        sym = sym.distinct()
+    sym = sym.persist()
+    labels, label_ids = None, set()
+    comp_type = sym.schema["a"].dataType
     for it in range(max_iter):
         # jump: adopt the label OF the label (pointer doubling) — a
         # self-join on the materialized label frame, so nothing upstream
@@ -661,8 +667,22 @@ def connected_components(
         # neighbour branch), so the post-aggregate frame can decide
         # convergence without a second join-against-previous job.
         if it == 0:
-            jumped = labels.select(
-                "node", "component", F.col("component").alias("_old")
+            # FUSED init + round 0: with identity labels the jump is a
+            # no-op and the relax is one aggregate straight over sym —
+            # new label = min(self, neighbours), changed = any neighbour
+            # below self.  Folding this in removes the separate eager
+            # init-labels checkpoint job (a whole barrier job per
+            # invocation; at sf0.1 that job alone was ~40% of CC's wall
+            # time, and at scale it was one full pass over the node set).
+            new, new_ids = _ckpt(
+                sym.groupBy(F.col("a").alias("node"))
+                .agg(F.min("b").alias("_nbr"))
+                .select(
+                    "node",
+                    F.least(F.col("node"), F.col("_nbr")).alias("component"),
+                    (F.col("_nbr") < F.col("node")).alias("_changed"),
+                ),
+                eager=False,
             )
         else:
             jumped = (
@@ -683,29 +703,30 @@ def connected_components(
                     F.col("l.component").alias("_old"),
                 )
             )
-        # relax: min over self and neighbours (one hop)
-        nbr_min = sym.join(
-            jumped, sym["b"] == jumped["node"]
-        ).select(
-            F.col("a").alias("node"), "component",
-            F.lit(None).cast(comp_type).alias("_old"),
-        )
-        # materialize AND truncate lineage; exactly one non-null _old per
-        # node (the self branch), so max() recovers it, and labels only
-        # ever decrease, so "min < old somewhere" == not converged.  The
-        # witness is carried as a column and reduced by the SAME action
-        # that materializes the lazy checkpoint — one job per round where
-        # the eager-checkpoint + join/count shape cost two (at small scale
-        # the per-round fixed overhead dominated the whole query).
-        new, new_ids = _ckpt(
-            jumped.union(nbr_min)
-            .groupBy("node")
-            .agg(
-                F.min("component").alias("component"),
-                (F.min("component") < F.max("_old")).alias("_changed"),
-            ),
-            eager=False,
-        )
+            # relax: min over self and neighbours (one hop)
+            nbr_min = sym.join(
+                jumped, sym["b"] == jumped["node"]
+            ).select(
+                F.col("a").alias("node"), "component",
+                F.lit(None).cast(comp_type).alias("_old"),
+            )
+            # materialize AND truncate lineage; exactly one non-null _old
+            # per node (the self branch), so max() recovers it, and labels
+            # only ever decrease, so "min < old somewhere" == not
+            # converged.  The witness is carried as a column and reduced
+            # by the SAME action that materializes the lazy checkpoint —
+            # one job per round where the eager-checkpoint + join/count
+            # shape cost two (at small scale the per-round fixed overhead
+            # dominated the whole query).
+            new, new_ids = _ckpt(
+                jumped.union(nbr_min)
+                .groupBy("node")
+                .agg(
+                    F.min("component").alias("component"),
+                    (F.min("component") < F.max("_old")).alias("_changed"),
+                ),
+                eager=False,
+            )
         _t0 = _time.time()
         changed = new.agg(F.max("_changed")).first()[0]
         if _os.environ.get("CC_DEBUG"):

@@ -104,14 +104,22 @@ def decontaminate(
     The benchmark's distinct shingle set is broadcast; the corpus explodes
     to (doc_id, shingle) and equi-joins — cost is linear in corpus
     shingles, never corpus x benchmark.
+
+    Both shingle explodes are the expensive per-row stage, and both run at
+    their scan's parallelism — fan out first (no-op on inputs already as
+    wide as the cluster; the grouped/distinct consumers are
+    layout-independent).  Measured at sf0.1 the corpus explode was a
+    single-task 9 s stage off the 1-row-group parquet scan.
     """
-    c_sh = corpus.select(
+    from .dedup import fan_out
+
+    c_sh = fan_out(corpus).select(
         "doc_id",
         F.explode(
             F.array_distinct(_shingles(_words(text_col), n))
         ).alias("s"),
     )
-    b_sh = benchmark.select(
+    b_sh = fan_out(benchmark).select(
         F.explode(
             F.array_distinct(_shingles(_words(text_col), n))
         ).alias("s")
