@@ -157,3 +157,57 @@ def test_excise_spans_roundtrip(spark):
     assert repeated_spans(sdf2, k=8, min_count=2).count() == 0
     release_session_pinned(spark)
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# snapshot-resume on the curate pipeline (r5 VERDICT item 6)
+# ---------------------------------------------------------------------------
+
+def test_curate_pipeline_kill_and_resume(spark, tmp_path):
+    """A curate run killed between stages resumes from the committed
+    snapshot: the expensive stage is NOT recomputed (snapshot count stays
+    1, audit records resumed=True), and the resumed output is bit-equal
+    to an uninterrupted single run AND to the driver's un-checkpointed
+    corpus_curate plan — restartability never changes the answer."""
+    from osm_cycling_quality_index_spark.operators.curate import (
+        StageKilled, curate_pipeline,
+    )
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").select(
+        "doc_id", "text", "source")
+    ck_killed = str(tmp_path / "ck_killed")
+    ck_single = str(tmp_path / "ck_single")
+
+    with pytest.raises(StageKilled):
+        curate_pipeline(docs, ck_killed, fail_after="keep_ids")
+    out_resumed = curate_pipeline(docs, ck_killed)
+
+    with open(f"{ck_killed}/_manifest.json") as fh:
+        stages = [s["stage"] for s in json.load(fh)["snapshots"]]
+    assert stages.count("keep_ids") == 1  # resumed, didn't rewrite
+    assert stages.count("curated") == 1
+    with open(f"{ck_killed}/_audit.jsonl") as fh:
+        audits = [json.loads(line) for line in fh]
+    assert any(a.get("resumed") for a in audits if a["stage"] == "keep_ids")
+    # lineage columns present in the stored snapshot, stripped on read
+    snap_path = [s for s in json.load(open(f"{ck_killed}/_manifest.json"))
+                 ["snapshots"] if s["stage"] == "keep_ids"][0]["path"]
+    raw = spark.read.parquet(snap_path)
+    assert "_lineage_partition" in raw.columns
+    assert "_lineage_partition" not in out_resumed.columns
+
+    def rows(df):
+        return sorted((r.doc_id, r.source, r.split) for r in df.collect())
+
+    out_single = curate_pipeline(docs, ck_single)
+    got = rows(out_resumed)
+    assert got == rows(out_single)
+
+    import __spark_entry__ as e
+    assert got == rows(e.queries()["corpus_curate"](spark, SF01))
+    assert len(got) > 0
+    from osm_cycling_quality_index_spark.operators.dedup import (
+        release_session_pinned,
+    )
+    release_session_pinned(spark)
+    spark.catalog.clearCache()
