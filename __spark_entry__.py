@@ -480,9 +480,10 @@ def q_corpus_curate(spark, sf_dir):
         F.col("dup_word_frac") <= 0.6).select("doc_id")
     dec = decontaminate(d, d.where(F.col("doc_id") % 97 == 0), n=5).where(
         F.col("contaminated") == 0).select("doc_id")
-    full = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the sample stage reads only (doc_id, source) — reuse the persisted
+    # docs frame instead of a second parquet scan
     kept = (
-        full.join(keep, "doc_id", "left_semi")
+        d.join(keep, "doc_id", "left_semi")
         .join(rep, "doc_id", "left_semi")
         .join(dec, "doc_id", "left_semi")
     )

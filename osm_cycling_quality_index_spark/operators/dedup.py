@@ -15,6 +15,7 @@ production path at 100 TB scale where a vocabulary join is unnecessary).
 from __future__ import annotations
 
 import os as _os
+import re as _re
 import time as _time
 
 from pyspark.sql import DataFrame, Window
@@ -86,9 +87,39 @@ def fan_out(df: DataFrame) -> DataFrame:
     are layout-independent (aggregates, value-derived buckets — true for
     every caller in this repo)."""
     sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
     try:
-        if df.rdd.getNumPartitions() < sc.defaultParallelism:
-            return df.repartition(sc.defaultParallelism)
+        # Probing width with ``df.rdd.getNumPartitions()`` is only cheap
+        # on a scan-only plan (metadata: the file split count).  On a plan
+        # containing a shuffle, AQE EXECUTES the upstream query stages to
+        # materialize the final RDD, so the old unconditional probe ran
+        # the whole subtree once and threw the result away (measured:
+        # decontaminate over a repartitioned input paid ~4x at sf1).  And
+        # a shuffled plan's width cannot be assumed cluster-wide either:
+        # AQE byte-size coalescing collapses a small post-shuffle frame to
+        # 1-2 partitions, which serialized the hyperplane-projection stage
+        # for a whole 70 s at sf1 when a draft of this function skipped
+        # shuffled plans outright.  The pre-execution sparkPlan is pure
+        # planning — classify from its string.
+        plan = df._jdf.queryExecution().sparkPlan().toString().lower()
+        has_shuffle = ("exchange hashpartitioning" in plan
+                       or "exchange roundrobinpartitioning" in plan
+                       or "exchange rangepartitioning" in plan)
+        if has_shuffle:
+            # already explicitly width-pinned on top (repartition(k>=n) is
+            # the repo's anti-coalescing idiom; AQE honours explicit
+            # numPartitions)?  then adding another exchange buys nothing.
+            m = _re.match(r"exchange roundrobinpartitioning\((\d+)\)",
+                          plan.lstrip())
+            if m and int(m.group(1)) >= n:
+                return df
+            # one explicit exchange of the (post-shuffle, usually already
+            # reduced) frame guarantees the expensive map stage's width in
+            # BOTH regimes — no probe, no extra pass over the base data
+            return df.repartition(n)
+        # scan-only plan: the probe is metadata (file split count), no job
+        if df.rdd.getNumPartitions() < n:
+            return df.repartition(n)
     except Exception:
         pass  # plan not RDD-convertible (e.g. pure streaming) — leave as-is
     return df
@@ -653,9 +684,21 @@ def connected_components(
     )
     if dedup_edges:
         sym = sym.distinct()
-    sym = sym.persist()
+    # materialize the edge frame as its OWN localCheckpoint leaf, NOT a
+    # cache-manager persist: every round's plan embeds sym, and with a
+    # persist that means (a) Catalyst re-analyzes the whole upstream pair
+    # pipeline — often the deepest plan in the job — once per round, and
+    # (b) the _ckpt registry diff around round 0 would attribute sym's
+    # cache RDD (which only registers at first materialization, inside
+    # round 0's job) to that round's label blocks, so the round-1 cleanup
+    # unpersisted it and rounds 2+ re-executed the entire pair pipeline
+    # (measured: 10x wall on a 10-round sf1 graph).  A checkpoint leaf is
+    # immune to both: rounds reference the materialized RDD directly, and
+    # its ids are tracked separately and dropped at function exit.
+    sym, sym_ids = _ckpt(sym, eager=False)
     labels, label_ids = None, set()
     comp_type = sym.schema["a"].dataType
+    _t_loop = _time.time()
     for it in range(max_iter):
         # jump: adopt the label OF the label (pointer doubling) — a
         # self-join on the materialized label frame, so nothing upstream
@@ -730,14 +773,17 @@ def connected_components(
         _t0 = _time.time()
         changed = new.agg(F.max("_changed")).first()[0]
         if _os.environ.get("CC_DEBUG"):
-            print(f"[cc] round {it}: {_time.time()-_t0:.2f}s changed={changed}", flush=True)
+            print(f"[cc] round {it}: action {_time.time()-_t0:.2f}s "
+                  f"full {_time.time()-_t_loop:.2f}s changed={changed}",
+                  flush=True)
+        _t_loop = _time.time()
         # the superseded round's blocks are only safe to drop AFTER the
         # action that read them
         _drop(label_ids)
         labels, label_ids = new, new_ids
         if not changed:
             break
-    sym.unpersist()
+    _drop(sym_ids)
     pinned = release_ids if release_ids is not None else None
     if pinned is not None:
         pinned.extend(label_ids)
@@ -816,8 +862,9 @@ def dedup_groups(
     keeper is the group_id row itself.  Output:
     ``(id_col, group_id, n_members, is_keeper)``, one row per corpus row.
 
-    Storage: the run pins one persisted frame plus the component labels'
-    localCheckpoint blocks.  If ``release`` is a list, a zero-arg cleanup
+    Storage: the run pins the component labels' localCheckpoint blocks
+    (the CC edge frame's own blocks are dropped before it returns).  If
+    ``release`` is a list, a zero-arg cleanup
     callable is appended — call it once the output is consumed (the frame
     is not reusable afterwards); otherwise the cleanup is registered for
     :func:`release_session_pinned`.
