@@ -139,6 +139,14 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     spark = get_spark(app_name="cqi-bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     queries = E.queries()
+    # last-known-good per-query seconds from prior clean runs at the same
+    # sf: a retry/disclosure trigger only, never a fail (a stale entry
+    # just costs one extra pass)
+    ref_path = os.path.join("BENCH", f"known_good_sf{os.path.basename(sf_dir.rstrip('/')).lstrip('sf')}.json")
+    ref = {}
+    if os.path.exists(ref_path):
+        with open(ref_path) as fh:
+            ref = json.load(fh)
     # warm the JVM/codegen path once with a trivial action, and spin up the
     # python UDF workers (long-lived on a real cluster; their cold fork+
     # import otherwise lands on whichever query first uses a pandas UDF)
@@ -197,7 +205,16 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
             bws.append(_bw_probe())
         contended = [e > EXT_NOISY_CORES or _bw_contended(b)
                      for e, b in zip(exts, bws)]
-        if all(contended):
+        # a co-VM burst that starts and ends INSIDE a pass is invisible to
+        # both boundary canaries (jiffies are this-VM-only; the bw probe
+        # runs between passes).  Two extra triggers for the bounded retry:
+        # wildly disagreeing twins (one pass poisoned), and a winning pass
+        # far above the committed last-known-good for this query (BOTH
+        # passes poisoned: r6 saw text_stats at 43.6/54.6 s against a
+        # 1-2 s isolated truth with every canary green)
+        suspicious = (max(per) > 2.5 * min(per)
+                      or min(per) > 3.0 * ref.get(name, float("inf")))
+        if all(contended) or suspicious:
             spark.catalog.clearCache()
             s0 = _cpu_snap()
             _materialize(queries[name](spark, sf_dir))
@@ -208,7 +225,10 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
             contended.append(exts[-1] > EXT_NOISY_CORES
                              or _bw_contended(bws[-1]))
         best = min(range(len(per)), key=lambda i: per[i])
-        if contended[best]:
+        if (contended[best]
+                or per[best] > 3.0 * ref.get(name, float("inf"))):
+            # still far above last-known-good after the retry: disclose as
+            # an upper bound even when the canaries read green
             noisy.append(name)
         # per-pass external cores + bandwidth canary: lets a reader
         # attribute an outlier pass to tenant contention (CPU or co-VM
@@ -248,11 +268,14 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
             # draft recorded dedup_groups_text at 87 s under a tenant
             # burst that re-measured at 10 s; the final r5 run showed the
             # OTHER contention mode — lang_quality 27 s at 0.03 external
-            # cores under co-VM DRAM pressure, caught by the canary)
-            if not contended[0]:
+            # cores under co-VM DRAM pressure, caught by the canary);
+            # a pass far above last-known-good earns it too (mid-pass
+            # bursts are invisible to the boundary canaries)
+            if not contended[0] and per[0] <= 3.0 * ref.get(name, float("inf")):
                 break
         best = min(range(len(per)), key=lambda i: per[i])
-        if contended[best]:
+        if (contended[best]
+                or per[best] > 3.0 * ref.get(name, float("inf"))):
             sweep_noisy.append(name)
         sweep[name] = per[best]
         sweep_ext[name] = exts
@@ -261,6 +284,13 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     release_session_pinned(spark)
     with open("/proc/loadavg") as fh:
         load_after = fh.read().split()[:3]
+    if not noisy and not sweep_noisy:
+        # clean run: fold this run's numbers into last-known-good
+        # (elementwise min — the reference tracks the box's quiet floor)
+        for k, v in {**sweep, **timings}.items():
+            ref[k] = min(ref.get(k, v), v)
+        with open(ref_path, "w") as fh:
+            json.dump(ref, fh, indent=1, sort_keys=True)
     return {
         "metric": "headline_queries_wall",
         "value": total,
