@@ -624,6 +624,11 @@ def main() -> int:
     ap.add_argument("--scaling-child", type=int, default=0)
     ap.add_argument("--roads", type=int, default=2000)
     ap.add_argument("--points", type=int, default=8_000_000)
+    ap.add_argument("--pair-repeats", type=int, default=3,
+                    help="N/4N back-to-back pairs to measure")
+    ap.add_argument("--extra-cores", type=str, default="8,32",
+                    help="comma list of supplementary parallelism points "
+                         "('' to skip)")
     args = ap.parse_args()
 
     if args.scaling_child:
@@ -632,7 +637,9 @@ def main() -> int:
         print(json.dumps(out))
         return 0
     if args.scaling:
-        report = run_scaling(args.roads, args.points)
+        extras = tuple(int(c) for c in args.extra_cores.split(",") if c)
+        report = run_scaling(args.roads, args.points,
+                             extra_cores=extras, repeats=args.pair_repeats)
         print(json.dumps(report))
         return 0
 
