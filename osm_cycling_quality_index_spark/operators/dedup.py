@@ -728,6 +728,13 @@ def connected_components(
                 eager=False,
             )
         else:
+            # exactly ONE jump per materialized round: chaining a second
+            # label(label(x)) lookup in the same round plan was tried
+            # (both joins against the checkpointed frame — no lineage
+            # blowup) and did NOT reduce the measured round count on the
+            # sf1 giant-component fixture (still 10 rounds); the min-
+            # aggregate relax, not pointer depth, binds convergence there,
+            # so the extra equi-join per round was pure cost.
             jumped = (
                 labels.alias("l")
                 .join(
