@@ -211,3 +211,37 @@ def test_curate_pipeline_kill_and_resume(spark, tmp_path):
     )
     release_session_pinned(spark)
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# fan_out width contract (the r6 regression class: a draft that skipped
+# shuffled plans let AQE byte-coalescing serialize the hyperplane stage)
+# ---------------------------------------------------------------------------
+
+def test_fan_out_width_contract(spark):
+    from pyspark.sql import functions as F
+
+    from osm_cycling_quality_index_spark.operators.dedup import fan_out
+
+    n = spark.sparkContext.defaultParallelism
+
+    # scan-only narrow plan -> widened to the cluster
+    raw = spark.read.parquet(f"{SF01}/documents.parquet")
+    assert raw.rdd.getNumPartitions() < n  # single-row-group fixture
+    assert fan_out(raw).rdd.getNumPartitions() == n
+
+    # narrow scan + filter (still scan-only) -> widened
+    assert fan_out(raw.where(F.col("doc_id") % 7 == 0)) \
+        .rdd.getNumPartitions() == n
+
+    # plan containing a shuffle -> explicit repartition pins the width
+    # (AQE byte-coalescing must NOT be able to shrink the expensive map
+    # stage downstream of it)
+    agg = raw.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    out = fan_out(agg)
+    assert out.rdd.getNumPartitions() == n
+
+    # already explicitly width-pinned on top -> returned untouched (no
+    # second exchange)
+    pinned = raw.repartition(n)
+    assert fan_out(pinned) is pinned
