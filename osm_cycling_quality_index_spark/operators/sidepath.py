@@ -181,7 +181,18 @@ def sidepath_votes(paths: DataFrame, roads: DataFrame) -> DataFrame:
 def sidepath_stage(df: DataFrame) -> DataFrame:
     """Full stage 1: split paths/roads, vote, write back
     proc_sidepath/proc_highway/proc_maxspeed and the transferred name
-    (reference/cycling_quality_index.py:210-366)."""
+    (reference/cycling_quality_index.py:210-366).
+
+    The stage's cost is the pandas-UDF geometry sampling inside
+    :func:`sidepath_votes` — fan the input out first so that per-row
+    work runs at the cluster's width instead of the upstream scan's
+    (one-row-group local fixtures scan as 1-2 partitions; already-wide
+    or shuffled inputs — the cluster case — pass through untouched).
+    Every downstream consumer is an aggregate or an id-equi-join, so
+    layout never affects results."""
+    from .dedup import fan_out
+
+    df = fan_out(df)
     is_path = F.col("highway").isin(P.PATH_HIGHWAY_LIST)
     paths = df.filter(is_path)
     # P4: QGIS `IS NOT` keeps NULL highway in the roads layer (:219)
