@@ -30,6 +30,7 @@ Usage: python tools/gen_cqi_sql.py
 
 from __future__ import annotations
 
+import re
 import sys
 
 sys.path.insert(0, ".")
@@ -69,6 +70,127 @@ def extract_stages(df) -> list[tuple[str, object]]:
     return ops
 
 
+# ---------------------------------------------------------------------------
+# constant-literal inlining (cross-stage constant folding)
+# ---------------------------------------------------------------------------
+#
+# The conform stage materializes the full OSM allow-list schema, so the
+# synthesized bench ways carry ~205 constant-NULL tag columns that every
+# later stage passes through and the derive/score CASE trees reference.
+# Catalyst cannot fold them: constant propagation only happens when
+# CollapseProject merges adjacent Projects, and the expensive multi-reference
+# stages here are deliberately NOT collapsible.  The per-stage rows were 230+
+# columns wide as a result — wide enough that whole-stage codegen could not
+# split the fused Project chain into per-operator methods, the generated
+# method overflowed the JVM 64 KB limit, and the whole scalar pipeline ran in
+# the per-operator fallback copying 230-field UnsafeRows per stage.
+#
+# This pass inlines every constant-literal column definition into its
+# downstream references and drops the definition — exact by construction (a
+# reference to a literal alias IS the literal; NULLs keep their CAST type).
+# After parsing, Catalyst's NullPropagation/SimplifyConditionals then erase
+# the dead CASE arms those NULLs feed.  Measured at sf0.1: stage rows shrink
+# from 230-248 to 25-81 columns and the replay drops ~6.8 s -> ~5.2 s quiet
+# (more under memory-bandwidth contention); rows bit-identical (pinned by
+# tests/test_round4.py::test_cqi_fast_path_bit_equal).
+
+_LIT = re.compile(
+    r"^(?:CAST\(NULL AS [A-Za-z0-9_() ,]+\)|NULL|'(?:[^']|'')*'"
+    r"|-?\d+(?:\.\d+)?(?:E-?\d+)?D?|true|false)$", re.I)
+_ALIAS = re.compile(r"^(.*)\s+AS\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)$", re.S)
+_PLAIN = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _segments(sql: str) -> list[tuple[str, str]]:
+    """Split SQL text into ('code'|'str'|'bt', text) segments so that
+    identifier substitution never touches string literals or the inside of
+    an unrelated backtick-quoted name."""
+    i, n, out, buf = 0, len(sql), [], []
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            if buf:
+                out.append(("code", "".join(buf)))
+                buf = []
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(("str", sql[i:j + 1]))
+            i = j + 1
+        elif c == "`":
+            if buf:
+                out.append(("code", "".join(buf)))
+                buf = []
+            j = sql.index("`", i + 1)
+            out.append(("bt", sql[i:j + 1]))
+            i = j + 1
+        else:
+            buf.append(c)
+            i += 1
+    if buf:
+        out.append(("code", "".join(buf)))
+    return out
+
+
+def _substitute(sql: str, consts: dict[str, str]) -> str:
+    if not consts:
+        return sql
+    plain = {k: v for k, v in consts.items() if _PLAIN.fullmatch(k)}
+    pat = None
+    if plain:
+        names = sorted(plain, key=len, reverse=True)
+        pat = re.compile(r"\b(" + "|".join(re.escape(x) for x in names) + r")\b")
+    out = []
+    for kind, text in _segments(sql):
+        if kind == "code" and pat is not None:
+            text = pat.sub(lambda m: plain[m.group(1)], text)
+        elif kind == "bt" and text[1:-1] in consts:
+            text = consts[text[1:-1]]
+        out.append(text)
+    return "".join(out)
+
+
+def fold_stages(stages: list[tuple[str, object]]) -> list[tuple[str, object]]:
+    """Inline constant-literal column definitions through the stage list and
+    drop them from the intermediate projections (the final stage keeps its
+    full output list, with literals inlined in place)."""
+    consts: dict[str, str] = {}
+    out: list[tuple[str, object]] = []
+    last_project = max(i for i, (k, _) in enumerate(stages) if k == "project")
+    for idx, (kind, payload) in enumerate(stages):
+        if kind == "filter":
+            out.append(("filter", _substitute(payload, consts)))
+            continue
+        new_items, new_consts = [], {}
+        for item in payload:
+            m = _ALIAS.match(item)
+            if m:
+                expr, alias = m.group(1), m.group(2)
+            else:
+                expr, alias = item, item.strip()
+            alias = alias[1:-1] if alias.startswith("`") else alias
+            expr2 = _substitute(expr, consts).strip()
+            if _LIT.fullmatch(expr2) and idx != last_project:
+                # parenthesize bare numeric/bool literals so the inlined
+                # text stays atomic wherever an identifier was valid
+                new_consts[alias] = (
+                    expr2 if expr2.startswith(("CAST", "'", "NULL", "null"))
+                    else "(" + expr2 + ")")
+                continue
+            quoted = alias if _PLAIN.fullmatch(alias) else f"`{alias}`"
+            new_items.append(f"{expr2} AS {quoted}")
+        # each project defines the complete next scope: only constants it
+        # (re-)defines survive; everything else is a real column again
+        consts = new_consts
+        out.append(("project", new_items))
+    return out
+
+
 def generate(spark=None) -> dict[str, list[tuple[str, object]]]:
     from osm_cycling_quality_index_spark.plans.cqi_query import (
         q_cqi_score_ways_built,
@@ -82,9 +204,11 @@ def generate(spark=None) -> dict[str, list[tuple[str, object]]]:
         spark = get_spark(app_name="gen-cqi-sql", master="local[4]")
     sf = "/root/testdata/sf0.001"
     return {
-        "CQI_STAGES": extract_stages(q_cqi_score_ways_built(spark, sf)),
-        "CQI_ROADS_STAGES": extract_stages(
-            q_cqi_score_roads_full_built(spark, sf)
+        "CQI_STAGES": fold_stages(
+            extract_stages(q_cqi_score_ways_built(spark, sf))
+        ),
+        "CQI_ROADS_STAGES": fold_stages(
+            extract_stages(q_cqi_score_roads_full_built(spark, sf))
         ),
     }
 
