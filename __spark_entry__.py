@@ -350,8 +350,14 @@ def q_bpe_token_ids(spark, sf_dir):
         pieces.select("piece").distinct()
         .withColumn(
             "token_id",
-            F.dense_rank().over(Window.partitionBy(F.lit(0)).orderBy("piece"))
-            .cast("int"),
+            # dimension-sized single-partition window (vocab is bounded by
+            # base alphabet + committed merges); partition by a
+            # value-derived constant so the spec survives the optimizer
+            # and WindowExec does not WARN like a corpus-sized global
+            # window would (see operators/dedup.word_ids)
+            F.dense_rank().over(
+                Window.partitionBy(F.substring("piece", 1, 0)).orderBy("piece")
+            ).cast("int"),
         )
     )
     return (

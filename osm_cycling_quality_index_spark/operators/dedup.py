@@ -102,9 +102,22 @@ def fan_out(df: DataFrame) -> DataFrame:
         # shuffled plans outright.  The pre-execution sparkPlan is pure
         # planning — classify from its string.
         plan = df._jdf.queryExecution().sparkPlan().toString().lower()
+        # sparkPlan() precedes EnsureRequirements, so the exchanges a
+        # join/aggregate/window REQUIRES are not printed yet — classify
+        # those operators as shuffled too, or their frames would fall
+        # through to the rdd probe below, which under AQE executes the
+        # entire upstream subtree to materialize the final RDD (the exact
+        # probe cost this classification exists to avoid)
         has_shuffle = ("exchange hashpartitioning" in plan
                        or "exchange roundrobinpartitioning" in plan
-                       or "exchange rangepartitioning" in plan)
+                       or "exchange rangepartitioning" in plan
+                       or "hashaggregate" in plan
+                       or "sortaggregate" in plan
+                       or "sortmergejoin" in plan
+                       or "shuffledhashjoin" in plan
+                       or "broadcasthashjoin" in plan
+                       or "broadcastnestedloopjoin" in plan
+                       or "window" in plan)
         if has_shuffle:
             # already explicitly width-pinned on top (repartition(k>=n) is
             # the repo's anti-coalescing idiom; AQE honours explicit
@@ -199,11 +212,18 @@ def word_ids(tokens: DataFrame, mode: str = "dictionary") -> DataFrame:
     # bucket sizes come straight from the vocab (no rank needed), keeping
     # the two consumers' subtrees identical up to the distinct's exchange
     counts = vocab.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    # the cumulative fold runs over the bounded per-prefix count table
+    # (<= alphabet^3 rows), so a single-partition window is safe BY SIZE —
+    # but a foldable partition spec (lit) is erased by the optimizer and
+    # WindowExec then WARNs "No Partition Defined", indistinguishable in
+    # logs from a real corpus-sized global window.  Partition by a
+    # value-derived constant (the empty prefix of _bkt): same single
+    # partition, same result, not foldable, no warning.
     offsets = counts.withColumn(
         "_off",
         F.coalesce(
             F.sum("_cnt").over(
-                Window.partitionBy(F.lit(0)).orderBy("_bkt")
+                Window.partitionBy(F.substring("_bkt", 1, 0)).orderBy("_bkt")
                 .rowsBetween(Window.unboundedPreceding, -1)
             ),
             F.lit(0),
@@ -643,6 +663,10 @@ def connected_components(
     the ids go to the module registry instead and
     :func:`release_session_pinned` frees them later.
     """
+    if max_iter < 1:
+        # labels are only assigned inside the loop; entering with
+        # max_iter <= 0 would return None at the label bookkeeping below
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     sc = edges.sparkSession.sparkContext
 
     def _ckpt(df, eager=True):
