@@ -722,6 +722,71 @@ def connected_components(
     sym, sym_ids = _ckpt(sym, eager=False)
     labels, label_ids = None, set()
     comp_type = sym.schema["a"].dataType
+    # size-adaptive small-graph path: the first loop action materializes
+    # the (checkpointed) edge frame anyway, so its row count is one cheap
+    # job away — and when the graph is dimension-sized, label propagation
+    # pays max_iter x (2 joins + an aggregate + a checkpoint + an action)
+    # of pure per-job latency for work a driver union-find does in
+    # milliseconds (measured at sf0.1: the 10-round embedding value graph
+    # spent ~4.5 s on a few hundred edges).  The bound is on the
+    # SYMMETRIZED row count (2 rows/edge, ids only — ~MBs at the default),
+    # the same bounded-collect class as the pip-ring / CSR / IVF dimension
+    # builds; a corpus whose pair graph exceeds it takes the distributed
+    # loop unchanged.  Labels are identical by construction: hash-min
+    # converges to each component's minimum, and the union-find below
+    # picks the same minimum (strings compared as UTF-8 bytes, matching
+    # Spark's binary string ordering).
+    local_limit = int(_os.environ.get("CC_LOCAL_EDGES", "100000"))
+    n_sym = sym.count()
+    if n_sym <= local_limit:
+        rows = sym.collect()
+        is_str = isinstance(rows[0][0], str) if rows else False
+        key = (lambda v: v.encode("utf-8")) if is_str else (lambda v: v)
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in rows:
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if key(rb) < key(ra):
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        # second pass: each root's label must be the component MINIMUM
+        # (union-by-min above already guarantees it, since the surviving
+        # root of every union is the smaller of the two roots)
+        out_rows = [(n, find(n)) for n in parent]
+        spark = edges.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType([StructField("node", comp_type),
+                             StructField("component", comp_type)])
+        if out_rows:
+            import pandas as _pd
+
+            # pandas + Arrow path: a plain list of tuples pickles row by
+            # row through py4j, ~5x slower at the 100k-row bound
+            labels = spark.createDataFrame(
+                _pd.DataFrame(out_rows, columns=["node", "component"]),
+                schema=schema,
+            )
+        else:
+            labels = spark.createDataFrame([], schema)
+        if _os.environ.get("CC_DEBUG"):
+            print(f"[cc] local path: {n_sym} sym rows, "
+                  f"{len(out_rows)} nodes", flush=True)
+        _drop(sym_ids)
+        return labels
     _t_loop = _time.time()
     for it in range(max_iter):
         # jump: adopt the label OF the label (pointer doubling) — a
