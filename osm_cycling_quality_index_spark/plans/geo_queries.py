@@ -102,9 +102,13 @@ def q_geo_knn(spark, sf_dir):
 
     pts = _points_df(spark, sf_dir)
     ways = _segments_df(spark, sf_dir).select("id", "geometry")
-    # res-8 round 1; round 2 at res 5 guarantees ~29 km — covers the ~13 km
-    # synthetic domain diagonal, so the result is globally exact
-    out = knn_ways(pts, ways, k=3, res=8, rings=2)
+    # res-9 round 1 (ring-2 disk ~600 m — the res-8 disk over-selected
+    # ~145 candidate segments/point for k=3, 2.2M grouped rows at sf0.1);
+    # round 2 at res 5 (coarse_drop=4) guarantees ~29 km — covers the
+    # ~13 km synthetic domain diagonal, so the result is globally exact
+    # exactly as before (the fine level only decides WHICH points are
+    # finalized early, never their neighbors)
+    out = knn_ways(pts, ways, k=3, res=9, rings=2, coarse_drop=4)
     return out.select(
         F.col("image_id").alias("point_id"), "way_id", "rank",
         F.round("dist_m", 4).alias("dist_r"),
@@ -121,7 +125,7 @@ def q_geo_knn_broadcast(spark, sf_dir):
 
     pts = _points_df(spark, sf_dir)
     ways = _segments_df(spark, sf_dir).select("id", "geometry")
-    out = knn_ways_broadcast(pts, ways, k=3, res=8, rings=2)
+    out = knn_ways_broadcast(pts, ways, k=3, res=9, rings=2, coarse_drop=4)
     return out.select(
         F.col("image_id").alias("point_id"), "way_id", "rank",
         F.round("dist_m", 4).alias("dist_r"),
