@@ -100,82 +100,92 @@ def sidepath_votes(paths: DataFrame, roads: DataFrame) -> DataFrame:
         .groupBy("id", "chk_idx", "road_id", "road_highway", "road_name")
         .agg(F.max("road_maxspeed").alias("road_maxspeed"))
     )
-    # the vote tables fan out into 6 aggregation branches; without a
-    # materialization boundary each branch re-runs the spatial join
-    hits = hits.persist()
 
     checks = pts.groupBy("id").agg(F.count(F.lit(1)).alias("checks")).persist()
     from .dedup import pin_session
 
-    pin_session(paths.sparkSession, hits.unpersist)
     pin_session(paths.sparkSession, checks.unpersist)
 
-    def vote(votes: DataFrame, key: str) -> DataFrame:
-        """Per-way flag: any `key` seen at >= threshold of check points
-        (== checks when checks <= 2; :317-341)."""
-        counts = votes.groupBy("id", key).agg(F.countDistinct("chk_idx").alias("cnt"))
-        j = counts.join(checks, "id")
-        flag = F.when(
-            F.col("checks") <= 2, F.col("cnt") == F.col("checks")
-        ).otherwise(F.col("cnt") >= F.col("checks") * 0.66)
-        return j.groupBy("id").agg(F.max(flag).alias(f"vote_{key}"))
+    # All six vote results (A1-A9) reduce over the same hits frame keyed by
+    # (id, <road_id | highway | name>).  The previous shape ran SIX
+    # aggregate branches off a persisted hits cache and re-joined them with
+    # six per-id left joins — ~0.4 s of fixed stage latency per branch at
+    # bench scale (57 static exchanges).  Instead: explode each hit row
+    # into its three vote dimensions once (map-side, 3x the ids-only hit
+    # rows — the payload is four short columns), aggregate ONE
+    # (kind, id, key) count table, and reduce it to one row per id in a
+    # single grouped pass.  Vote semantics are bit-identical:
+    #
+    # * flags: max(flag) over each kind's rows == the per-vote() max;
+    # * derived_class (A7): max(struct(cnt, -rank, key)) == row_number
+    #   over (cnt DESC, rank ASC) — highest count, tie to lowest rank
+    #   (ties beyond that are data-impossible: rank is injective on the
+    #   class list and NULL/unlisted classes share the last rank only if
+    #   two such classes tie exactly, where the old window order was
+    #   nondeterministic anyway);
+    # * vote_name (A8): min(struct(-cnt, name)) == row_number over
+    #   (cnt DESC, name ASC NULLS FIRST) — struct ordering puts NULL
+    #   fields first, verified by test;
+    # * class_maxspeeds (A5/A9): the same (id, highway) groups, folded to
+    #   a map in the same pass.
+    expl = hits.select(
+        "id", "chk_idx", "road_maxspeed",
+        F.explode(F.array(
+            F.struct(F.lit("i").alias("kind"), F.col("road_id").alias("key")),
+            F.struct(F.lit("h").alias("kind"), F.col("road_highway").alias("key")),
+            F.struct(F.lit("n").alias("kind"), F.col("road_name").alias("key")),
+        )).alias("e"),
+    ).select("id", "chk_idx", "road_maxspeed", F.col("e.kind").alias("kind"),
+             F.col("e.key").alias("key"))
+    counts = expl.groupBy("kind", "id", "key").agg(
+        F.countDistinct("chk_idx").alias("cnt"),
+        # only read for kind='h' (max maxspeed per (way, class), A5)
+        F.max("road_maxspeed").alias("ms"),
+    )
 
-    v_id = vote(hits.select("id", "chk_idx", "road_id"), "road_id")
-    v_hw = vote(hits.select("id", "chk_idx", "road_highway"), "road_highway")
-    v_nm = vote(hits.select("id", "chk_idx", "road_name"), "road_name")
-
-    # A7: most frequent highway class, ties -> highest rank in
+    # A7 rank: most frequent highway class, ties -> highest rank in
     # HIGHWAY_CLASS_LIST (:345-354); NULL class ranks last
     rank_expr = F.lit(len(P.HIGHWAY_CLASS_LIST) - 1)
     for i, cls in enumerate(P.HIGHWAY_CLASS_LIST):
         if cls is not None:
-            rank_expr = F.when(F.col("road_highway") == cls, F.lit(i)).otherwise(rank_expr)
-    hw_counts = (
-        hits.groupBy("id", "road_highway")
-        .agg(F.countDistinct("chk_idx").alias("cnt"))
-        .withColumn("rank", rank_expr)
-    )
-    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("rank"))
-    derived_class = (
-        hw_counts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", F.col("road_highway").alias("derived_class"))
+            rank_expr = F.when(F.col("key") == cls, F.lit(i)).otherwise(rank_expr)
+
+    flag = F.when(
+        F.col("checks") <= 2, F.col("cnt") == F.col("checks")
+    ).otherwise(F.col("cnt") >= F.col("checks") * 0.66)
+    is_h = F.col("kind") == "h"
+    is_n = F.col("kind") == "n"
+    per_id = (
+        counts.join(checks, "id")
+        .groupBy("id")
+        .agg(
+            F.max(F.when(F.col("kind") == "i", flag)).alias("vote_road_id"),
+            F.max(F.when(is_h, flag)).alias("vote_road_highway"),
+            F.max(F.when(is_n, flag)).alias("vote_road_name"),
+            F.max(F.when(is_h, F.struct(
+                F.col("cnt"), (-rank_expr).alias("nrank"), F.col("key"),
+            ))).alias("_dc"),
+            F.min(F.when(is_n, F.struct(
+                (-F.col("cnt")).alias("nc"), F.col("key"),
+            ))).alias("_nm"),
+            F.map_from_entries(F.collect_list(F.when(is_h, F.struct(
+                F.coalesce(F.col("key"), F.lit("~~null~~")), F.col("ms"),
+            )))).alias("class_maxspeeds"),
+        )
     )
 
-    # A5/A9: max maxspeed per (way, class)
-    ms = hits.groupBy("id", "road_highway").agg(F.max("road_maxspeed").alias("ms"))
-    class_ms = ms.groupBy("id").agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(F.coalesce(F.col("road_highway"), F.lit("~~null~~")), F.col("ms"))
-            )
-        ).alias("class_maxspeeds")
-    )
-
-    # A8: most frequent name; deterministic tie-break (cnt desc, name asc
-    # nulls first — the reference's dict-order tie-break is undefined)
-    nm_counts = hits.groupBy("id", "road_name").agg(F.countDistinct("chk_idx").alias("cnt"))
-    wn = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc_nulls_first("road_name"))
-    vote_name = (
-        nm_counts.withColumn("rn", F.row_number().over(wn))
-        .where(F.col("rn") == 1)
-        .select("id", F.col("road_name").alias("vote_name"))
-    )
-
-    out = (
-        checks.join(v_id, "id", "left")
-        .join(v_hw, "id", "left")
-        .join(v_nm, "id", "left")
-        .join(derived_class, "id", "left")
-        .join(class_ms, "id", "left")
-        .join(vote_name, "id", "left")
-    )
+    out = checks.join(per_id, "id", "left")
     return out.withColumn(
         "vote_yes",
         F.coalesce(F.col("vote_road_id"), F.lit(False))
         | F.coalesce(F.col("vote_road_highway"), F.lit(False))
         | F.coalesce(F.col("vote_road_name"), F.lit(False)),
-    ).select("id", "checks", "vote_yes", "derived_class", "class_maxspeeds", "vote_name")
+    ).select(
+        "id", "checks", "vote_yes",
+        F.col("_dc.key").alias("derived_class"),
+        "class_maxspeeds",
+        F.col("_nm.key").alias("vote_name"),
+    )
 
 
 def sidepath_stage(df: DataFrame) -> DataFrame:

@@ -46,6 +46,42 @@ def test_cc_local_matches_distributed_string_ids(spark, monkeypatch):
     assert local["w2"] == "w10"  # 'w10' < 'w2' byte-wise
 
 
+def test_sidepath_vote_null_names_match_oracle(spark):
+    """The consolidated single-pass vote aggregate (round 7) must keep the
+    NULLS-FIRST name tie-break and NULL-class handling of the old per-vote
+    window branches: roads with no name / unlisted highway exercise the
+    struct-ordering min/max paths."""
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).parent))
+    from oracle_sidepath import brute_force_votes
+    from test_sidepath import _compare, _line
+
+    ways = []
+    for i in range(12):
+        lat = 52.40 + i * 0.003
+        lon = 13.10
+        ways.append({
+            "id": f"r{i}", "geometry": _line(lon, lat, 900.0),
+            # half the roads have no name; two per path so name counts tie
+            "highway": ["residential", "bridleway"][i % 2],
+            "name": None if i % 2 else f"N{i % 3}",
+            "maxspeed": "30",
+        })
+        ways.append({
+            "id": f"r{i}b", "geometry": _line(lon, lat, 900.0, 6.0),
+            "highway": "residential", "name": None, "maxspeed": "50",
+        })
+        ways.append({
+            "id": f"p{i}", "geometry": _line(lon, lat, 800.0, 12.0),
+            "highway": ["cycleway", "footway", "path"][i % 3],
+            "bicycle": "yes",
+        })
+    _compare(spark, ways)
+    assert brute_force_votes(ways)  # non-vacuous
+
+
 def test_cc_max_iter_guard(spark):
     from osm_cycling_quality_index_spark.operators.dedup import (
         connected_components,
