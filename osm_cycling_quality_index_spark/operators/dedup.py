@@ -287,20 +287,47 @@ def ngram_jaccard_pairs(
     # several times cheaper to ship and compute than string arrays.
     # Dictionary ids are exactly unique per word, so counts are identical
     # to counting the strings themselves.
-    idtoks = word_ids(toks, "dictionary")
-    dfreq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = idtoks.join(dfreq, "word").withColumn(
-        "i",
-        F.row_number().over(Window.partitionBy("doc_id").orderBy("_df", "word")),
+    #
+    # ONE vocabulary aggregate serves both the id dictionary and the
+    # document frequencies (word_ids + a separate dfreq groupBy scanned
+    # the token stream twice and attached by two joins), and the per-doc
+    # df-order position comes from an IN-ARRAY sort after the groupBy
+    # rather than a row_number window — the window cost a full extra
+    # sort-shuffle of the token stream for an ordering the ~prefix-sized
+    # per-doc arrays can establish map-side (struct sort by (_df, word)
+    # == the window's orderBy: word is unique per doc, so the order is
+    # total either way).  Ids are identical to word_ids(toks,
+    # 'dictionary'): rank within the 3-char-prefix bucket + cumulative
+    # bucket offsets, independent of _df.
+    vocab = toks.groupBy("word").agg(
+        F.count(F.lit(1)).alias("_df")
+    ).withColumn("_bkt", F.substring("word", 1, 3))
+    local = vocab.withColumn(
+        "_local",
+        F.row_number().over(Window.partitionBy("_bkt").orderBy("word")),
     )
-    # full id sets + sizes for the exact verify, grouped on the window's
-    # own hash partitioning (no extra exchange).  The rank rides inside a
-    # struct and an explicit array_sort restores prefix order — relying
-    # on collect_list preserving the window's row order is not a
-    # documented contract
-    per_doc = ranked.groupBy("doc_id").agg(
+    counts = vocab.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.partitionBy(F.substring("_bkt", 1, 0)).orderBy("_bkt")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_bkt", "_off")
+    vocab_ids = (
+        local.join(F.broadcast(offsets), "_bkt")
+        .select("word", (F.col("_local") + F.col("_off")).alias("word_id"),
+                "_df")
+    )
+    idtoks = toks.join(F.broadcast(vocab_ids), "word")
+    # full id sets (in ascending-df prefix order) + sizes for the exact
+    # verify, straight off the groupBy's hash partitioning
+    per_doc = idtoks.groupBy("doc_id").agg(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "word_id"))),
+            F.array_sort(F.collect_list(F.struct("_df", "word", "word_id"))),
             lambda s: s["word_id"],
         ).alias("wids"),
         F.count(F.lit(1)).alias("n"),
