@@ -107,8 +107,9 @@ def q_cqi_score_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by tests/test_round4.py: regenerated text == committed text and
     fast-path rows == builder rows bit-for-bit."""
     from .cqi_sql_gen import CQI_STAGES
-    from .sqlgen import parquet_base_sql, replay_stages
+    from .sqlgen import parquet_base_sql, replay_session, replay_stages
 
+    spark = replay_session(spark)  # codegen-off child; see replay_session
     return replay_stages(
         spark, parquet_base_sql(spark, f"{sf_dir}/lineitem.parquet"),
         CQI_STAGES,

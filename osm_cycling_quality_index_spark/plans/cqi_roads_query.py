@@ -94,8 +94,9 @@ def q_cqi_score_roads_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     rationale as plans/cqi_query.q_cqi_score_ways; text and results are
     pinned to :func:`q_cqi_score_roads_full_built` by tests/test_round4.py."""
     from .cqi_sql_gen import CQI_ROADS_STAGES
-    from .sqlgen import parquet_base_sql, replay_stages
+    from .sqlgen import parquet_base_sql, replay_session, replay_stages
 
+    spark = replay_session(spark)  # codegen-off child; see replay_session
     return replay_stages(
         spark, parquet_base_sql(spark, f"{sf_dir}/orders.parquet"),
         CQI_ROADS_STAGES,

@@ -29,6 +29,29 @@ def replay_stages(
     return spark.sql(sql)
 
 
+def replay_session(spark: SparkSession) -> SparkSession:
+    """Child session (shared SparkContext, isolated SQL conf) with
+    whole-stage codegen OFF, for the committed-SQL replay queries only.
+
+    The replayed scalar chains fuse into one codegen span whose generated
+    method exceeds the JVM 64 KB limit; compilation FAILS, Spark falls
+    back per-operator — but failed compilations are not cached, so every
+    execution re-attempts the doomed multi-second Janino compile before
+    falling back (measured at sf0.1: 6.3-6.9 s per pass with the retry
+    vs 3.5-3.8 s with codegen off — the fallback is also simply faster
+    here, per-operator projections compile fine).  A child session scopes
+    the flag to these queries; ``newSession`` inherits every builder conf
+    (verified: shuffle partitions, AQE, Arrow, thresholds), and one child
+    is cached per parent session."""
+    cached = getattr(spark, "_replay_nowscg_session", None)
+    if cached is not None:
+        return cached
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark._replay_nowscg_session = s2
+    return s2
+
+
 def parquet_base_sql(spark: SparkSession, path: str) -> str:
     """Scan + round-robin repartition base, inlined (path datasource +
     REPARTITION hint — same physical base as ``df.repartition(n)``) rather
