@@ -481,7 +481,7 @@ def q_corpus_curate(spark, sf_dir):
     oracled on its own; this row proves they compose (and the oracle
     composes their SQL mirrors the same way)."""
     from osm_cycling_quality_index_spark.operators.quality import (
-        decontaminate, repetition_stats,
+        decontaminate, dup_word_frac_col,
     )
     from osm_cycling_quality_index_spark.operators.sampling import (
         hash_split, stratified_sample,
@@ -500,8 +500,12 @@ def q_corpus_curate(spark, sf_dir):
     # pairs CTE swapping to the sketch mirror.
     groups = dedup.minhash_groups(d, mode="dictionary", verify="sketch")
     keep = groups.where(F.col("is_keeper") == 1).select("doc_id")
-    rep = repetition_stats(d).where(
-        F.col("dup_word_frac") <= 0.6).select("doc_id")
+    # the repetition pass here filters on dup_word_frac ALONE — use the
+    # shared map-only column instead of the full repetition_stats frame,
+    # whose bigram branch (explode + two aggregates + a join) would
+    # execute for a discarded column (Catalyst cannot eliminate the
+    # left join without uniqueness metadata)
+    rep = d.where(dup_word_frac_col() <= 0.6).select("doc_id")
     dec = decontaminate(d, d.where(F.col("doc_id") % 97 == 0), n=5).where(
         F.col("contaminated") == 0).select("doc_id")
     # the sample stage reads only (doc_id, source) — reuse the persisted

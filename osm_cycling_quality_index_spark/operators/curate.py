@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..audit import Audit
 from ..checkpoint import SnapshotTable
 from . import dedup
-from .quality import decontaminate, repetition_stats
+from .quality import decontaminate, dup_word_frac_col
 from .sampling import hash_split, stratified_sample
 
 
@@ -81,8 +81,10 @@ def curate_pipeline(
         groups = dedup.minhash_groups(
             docs, mode="dictionary", verify="sketch", release=release)
         keep = groups.where(F.col("is_keeper") == 1).select("doc_id")
-        rep = repetition_stats(docs).where(
-            F.col("dup_word_frac") <= rep_max).select("doc_id")
+        # filter on the shared map-only dup_word_frac column — the full
+        # repetition_stats frame would execute its bigram branch for a
+        # discarded column (see quality.dup_word_frac_col)
+        rep = docs.where(dup_word_frac_col() <= rep_max).select("doc_id")
         dec = decontaminate(
             docs, docs.where(F.col("doc_id") % 97 == 0), n=5,
         ).where(F.col("contaminated") == 0).select("doc_id")

@@ -42,6 +42,20 @@ def _shingles(ws, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def dup_word_frac_col(text_col: str = "text"):
+    """The duplicate-word fraction as a map-only Column — shared by
+    :func:`repetition_stats` and consumers that filter on this signal
+    alone (corpus_curate), which must not pay the bigram branch (explode
+    + two aggregates + a join) for a discarded column; Catalyst cannot
+    eliminate that join without uniqueness metadata."""
+    ws = _words(text_col)
+    n = F.size(ws)
+    return F.when(
+        n > 0,
+        F.round(1 - F.size(F.array_distinct(ws)) / n, 6),
+    ).otherwise(F.lit(0.0))
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc repetition features: (doc_id, n_words, dup_word_frac,
     top_bigram_frac).
@@ -55,10 +69,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     ws = _words(text_col)
     n = F.size(ws)
-    dup = F.when(
-        n > 0,
-        F.round(1 - F.size(F.array_distinct(ws)) / n, 6),
-    ).otherwise(F.lit(0.0))
+    dup = dup_word_frac_col(text_col)
     # the split/array_distinct/bigram expressions dominate this operator's
     # cost — don't let a one-row-group input pin them at scan parallelism
     df = fan_out(df)
